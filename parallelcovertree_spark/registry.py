@@ -1,0 +1,364 @@
+"""Driver-contract query registry.
+
+Each entry pairs an engine query (idiomatic DataFrame plan over the
+driver-generated parquet tables) with a DuckDB-runnable oracle SQL string
+computing the same result. The engine side uses the physical plan we want at
+scale (grid equi-joins, broadcast dims, window top-k); the oracle side is
+by-definition SQL (cross joins, windows). Column names are aliased identically
+on both sides (driver hashes values after sorting columns by name).
+
+Numeric parity discipline: every value that reaches the output is either an
+integer, a string, or a double produced by the *same* IEEE expression tree in
+both engines (coordinates from the SQL-parity geocoder; no transcendentals).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parallelcovertree_spark.functions import geo
+from parallelcovertree_spark.functions.cells import cell_id, cell_id_sql
+from parallelcovertree_spark.functions.text import (
+    LANG_MARKERS,
+    TOKEN_COUNT_SQL,
+    TOKEN_HASH_SQL,
+    lang_score_sql,
+)
+from parallelcovertree_spark.operators.epsilon_join import epsilon_self_join
+from parallelcovertree_spark.operators.knn import knn_join
+
+# workload constants (documents table is the web-corpus stand-in)
+EPS_RADIUS = 1.0
+KNN_K = 10
+TILE_RES = 2.0
+_MH_P = 131071
+_MH_COEF = [(1, 0), (7, 3), (131, 17), (1031, 97)]
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (id, x, y) via the SQL-parity geocoder."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), geo.x_col("doc_id").alias("x"), geo.y_col("doc_id").alias("y")
+    )
+
+
+_PTS_CTE = f"WITH pts AS ({geo.points_cte('doc_id', 'documents')})"
+
+
+# --- flagship spatial queries -------------------------------------------------
+
+@_register(
+    "epsilon_join_docs",
+    f"""{_PTS_CTE}
+SELECT a.id AS src, b.id AS dst
+FROM pts a, pts b
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {EPS_RADIUS * EPS_RADIUS!r}
+""",
+)
+def epsilon_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY J1: ε-radius self-join (grid cell equi-join plan). Self-loops
+    included — reference semantics (programs/epsilon_graph.cpp:113-118)."""
+    return epsilon_self_join(_doc_points(spark, sf_dir), EPS_RADIUS, id_col="id")
+
+
+@_register(
+    "knn_docs",
+    f"""{_PTS_CTE},
+d AS (
+  SELECT a.id AS src, b.id AS dst,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a, pts b WHERE a.id <> b.id
+),
+r AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, dst) AS rk FROM d)
+SELECT src, rk AS nbr_rank, dst FROM r WHERE rk <= {KNN_K}
+""",
+)
+def knn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY J7/W5: exact kNN k=10 via adaptive grid ring expansion."""
+    return knn_join(_doc_points(spark, sf_dir), k=KNN_K, id_col="id")
+
+
+_X = geo.X_SQL.format(id="doc_id")
+_Y = geo.Y_SQL.format(id="doc_id")
+
+
+@_register(
+    "tile_assignment",
+    f"SELECT doc_id, {cell_id_sql(_X, _Y, TILE_RES)} AS cell_id FROM documents",
+)
+def tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY C4 / north rule: doc → H3-analog tile id (pure Catalyst)."""
+    d = geo.geotag(_docs(spark, sf_dir), "doc_id")
+    return d.select("doc_id", cell_id("x", "y", TILE_RES).alias("cell_id"))
+
+
+@_register(
+    "cell_histogram",
+    f"""{_PTS_CTE}
+SELECT {cell_id_sql('x', 'y', TILE_RES)} AS cell_id, COUNT(*) AS n
+FROM pts GROUP BY 1
+""",
+)
+def cell_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A3: per-cell load histogram (skew/salting input)."""
+    return (
+        _doc_points(spark, sf_dir)
+        .groupBy(cell_id("x", "y", TILE_RES).alias("cell_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "farthest_per_cell",
+    f"""{_PTS_CTE},
+c AS (SELECT id, x, y, {cell_id_sql('x', 'y', TILE_RES)} AS cell_id, x * x + y * y AS d2 FROM pts),
+r AS (SELECT cell_id, id, ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY d2 DESC, id) AS rk FROM c)
+SELECT cell_id, id AS doc_id FROM r WHERE rk = 1
+""",
+)
+def farthest_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A1: per-group argmax with the reference's tie-break (strict >,
+    lowest id wins — CoverTree.cpp:117). Window top-1 per cell."""
+    pts = _doc_points(spark, sf_dir).withColumn("cell_id", cell_id("x", "y", TILE_RES))
+    d2 = F.col("x") * F.col("x") + F.col("y") * F.col("y")
+    w = Window.partitionBy("cell_id").orderBy(d2.desc(), F.col("id").asc())
+    return (
+        pts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("cell_id", F.col("id").alias("doc_id"))
+    )
+
+
+# --- text analysis ------------------------------------------------------------
+
+@_register(
+    "token_count",
+    f"SELECT doc_id, {TOKEN_COUNT_SQL.format(t='text')} AS n_tokens FROM documents",
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.expr(TOKEN_COUNT_SQL.format(t="text")).alias("n_tokens")
+    )
+
+
+@_register(
+    "quality_score",
+    f"""SELECT doc_id,
+       {TOKEN_COUNT_SQL.format(t='text')} AS n_tokens,
+       CAST({TOKEN_COUNT_SQL.format(t='text')} AS DOUBLE) / CAST(LENGTH(text) + 1 AS DOUBLE) AS quality
+FROM documents""",
+)
+def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = F.expr(TOKEN_COUNT_SQL.format(t="text"))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        tok.alias("n_tokens"),
+        (tok.cast("double") / (F.length("text") + F.lit(1)).cast("double")).alias("quality"),
+    )
+
+
+def _langid_case_sql() -> str:
+    scores = {lang: lang_score_sql("text", lang) for lang in LANG_MARKERS}
+    langs = list(LANG_MARKERS)
+    whens = []
+    for i, lg in enumerate(langs[:-1]):
+        conds = " AND ".join(f"{scores[lg]} >= {scores[other]}" for other in langs[i + 1:])
+        whens.append(f"WHEN {conds} THEN '{lg}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+
+
+@_register(
+    "lang_id",
+    f"SELECT doc_id, {_langid_case_sql()} AS lang_pred FROM documents",
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic (training-pipeline op). The CASE
+    argmax is the same expression tree in both engines (first max wins)."""
+    return _docs(spark, sf_dir).select("doc_id", F.expr(_langid_case_sql()).alias("lang_pred"))
+
+
+@_register(
+    "exact_dedup",
+    """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text""",
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content; keeper = lowest doc_id."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keeper_id", "n_copies")
+    )
+
+
+def _mh_expr(i: int) -> str:
+    a, b = _MH_COEF[i]
+    h = TOKEN_HASH_SQL.format(tok="tok")
+    return f"MIN(({a} * {h} + {b}) % {_MH_P})"
+
+
+@_register(
+    "minhash_signatures",
+    f"""WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id, {_mh_expr(0)} AS mh0, {_mh_expr(1)} AS mh1,
+       {_mh_expr(2)} AS mh2, {_mh_expr(3)} AS mh3
+FROM toks GROUP BY doc_id
+""",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash dedup stage 1: per-doc signature over whitespace shingles.
+    Weak-but-portable token hash (ascii/length) so DuckDB reproduces it."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    h = F.expr(TOKEN_HASH_SQL.format(tok="tok"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(_MH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MH_COEF)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+@_register(
+    "minhash_dup_pairs",
+    f"""WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+),
+sigs AS (
+  SELECT doc_id, {_mh_expr(0)} AS mh0, {_mh_expr(1)} AS mh1,
+         {_mh_expr(2)} AS mh2, {_mh_expr(3)} AS mh3
+  FROM toks GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, CAST(mh0 AS BIGINT) * {_MH_P} + mh1 AS b0,
+         CAST(mh2 AS BIGINT) * {_MH_P} + mh3 AS b1 FROM sigs
+)
+SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+FROM bands a JOIN bands b
+  ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id
+""",
+)
+def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH stage 2: band → bucket equi-join → candidate pairs.
+    Engine plan: one shuffle per band on the band key (NOT the OR-join the
+    oracle uses), union + distinct."""
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        (F.col("mh0").cast("long") * _MH_P + F.col("mh1")).alias("b0"),
+        (F.col("mh2").cast("long") * _MH_P + F.col("mh3")).alias("b1"),
+    ).persist()
+    pairs = None
+    for band in ("b0", "b1"):
+        l = bands.select(F.col("doc_id").alias("src"), F.col(band).alias("bk"))
+        r = bands.select(F.col("doc_id").alias("dst"), F.col(band).alias("bk"))
+        p = l.join(r, "bk").where(F.col("src") < F.col("dst")).select("src", "dst")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+# --- generic operator coverage on the star schema ------------------------------
+
+@_register(
+    "argmax_lineitem",
+    """WITH r AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber) AS rk
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_quantity FROM r WHERE rk = 1""",
+)
+def argmax_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A1 on the star schema: per-group argmax, deterministic ties."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_quantity").desc(), F.col("l_linenumber"))
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@_register(
+    "topk_orders_per_customer",
+    """WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+SELECT o_custkey, rk, o_orderkey FROM r WHERE rk <= 3""",
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY W5: windowed top-k per group."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey")
+    )
+
+
+@_register(
+    "returnflag_summary",
+    """SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS DOUBLE)) AS sum_qty,
+       COUNT(*) AS n_rows,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def returnflag_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A2/A4: global grouped aggregates (partial+final — Catalyst's
+    map-side combine is the reference's MPI_Allreduce analog)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("double")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@_register(
+    "distinct_status_union",
+    """SELECT DISTINCT l_returnflag AS flag FROM lineitem
+UNION
+SELECT DISTINCT o_orderstatus AS flag FROM orders""",
+)
+def distinct_status_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY E1/E2: union + distinct (allgather_distinct analog)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(F.col("l_returnflag").alias("flag"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(F.col("o_orderstatus").alias("flag"))
+    return li.unionByName(o).distinct()
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

@@ -1,0 +1,344 @@
+"""Distributed level-batched cover-tree build (SURVEY.md section 3.1/3.2).
+
+Spark re-expression of the reference's two-phase construction
+(``/root/reference/src/CoverTree.cpp:325-342`` sequential loop;
+``src/DistCoverTree.cpp:85-130`` global/local phases):
+
+- **Global phase** — each iteration is ONE Spark job: per-hub farthest-point
+  aggregation (``max_by`` with the reference's tie-break: strict ``>`` ⇒
+  lowest point id, CoverTree.cpp:117 / the custom MPI argmax op
+  DistCoverTree.cpp:175-208), a driver-side hub-chain decision (the reference
+  runs this "identically and redundantly on all processors",
+  DistCoverTree.cpp:362-366 — our driver IS that replicated state), and a
+  state transform of broadcast joins (leaf deactivation, split re-homing,
+  newest-chain-tail distance update — CoverTree.cpp:181-322).
+- **Cutoff** — once active hubs ≥ ``hub_cutoff`` there is enough parallelism
+  to finish each hub independently (the reference's load-imbalance ≤ 1.25
+  cutoff, DistCoverTree.cpp:101-110,726-758).
+- **Local phase** — one shuffle: ``repartition by hub → groupBy(hub).
+  applyInPandas(numpy cover-tree kernel)`` — the reference's MPI_Alltoallv +
+  per-hub sequential builds (DistCoverTree.cpp:814-934) as a single
+  Spark stage. Local trees carry global point ids + coords in-row, which
+  eliminates the reference's local→global remap join (DistCoverTree.cpp:
+  1134-1139) by schema design.
+
+Checkpointed per ``checkpoint_every`` iterations (state parquet + driver JSON
++ lineage metrics), so builds resume mid-level — the north rule's
+"resumable from checkpoint with per-partition lineage + metrics".
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallelcovertree_spark.plans.local_tree import build_cover_tree_np
+
+LEAF_VID_BASE = 1 << 40  # leaf vertex ids = base + point id (one leaf/point)
+
+LOCAL_TREE_SCHEMA = (
+    "hub_id long, lvertex_id long, point_id long, lparent_id long, "
+    "level long, px float, py float, lmax_radius double"
+)
+
+
+@dataclass
+class CoverTreeModel:
+    base: float
+    max_radius: float
+    root_pid: int
+    vertices: DataFrame            # (vertex_id, point_id, parent_id, level) top tree
+    local_trees: DataFrame | None  # LOCAL_TREE_SCHEMA rows, None if fully global
+    points: DataFrame              # (id, x, y)
+    local_roots: list[int]
+    metrics: DataFrame             # per-iteration lineage/metrics
+    num_global_iters: int
+
+
+def _collect_farthest(state: DataFrame) -> list:
+    """SURVEY A1: per-hub argmax (partial agg map-side, final agg reduce-side
+    — Catalyst's automatic partial aggregation is the MPI_Allreduce analog)."""
+    best = F.max_by(
+        F.struct(F.col("pid"), F.col("x"), F.col("y"), F.col("dist")),
+        F.struct(F.col("dist"), (-F.col("pid")).alias("neg")),
+    ).alias("far")
+    return (
+        state.where(F.col("hub_vtx") >= 0)
+        .groupBy("hub_vtx")
+        .agg(best)
+        .collect()
+    )
+
+
+def build_cover_tree(
+    points: DataFrame,
+    base: float = 2.0,
+    hub_cutoff: int | None = 512,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 8,
+    resume: bool = False,
+    max_iters: int | None = None,
+) -> CoverTreeModel:
+    """Build the distributed cover tree over ``points(id, x, y)``.
+
+    ``hub_cutoff=None`` forces a fully-global build (reference sequential
+    semantics end-to-end); otherwise the build switches to the per-hub local
+    phase once that many hubs are active. ``max_iters`` stops the global
+    phase early (checkpoint testing); combined with ``resume=True`` the build
+    continues from the last checkpoint.
+    """
+    spark = points.sparkSession
+    pts = points.select(
+        F.col("id").alias("pid").cast("long"),
+        F.col("x").cast("float"),
+        F.col("y").cast("float"),
+    )
+
+    it = 0
+    metrics: list[dict] = []
+
+    if resume and checkpoint_dir and os.path.exists(f"{checkpoint_dir}/driver.json"):
+        with open(f"{checkpoint_dir}/driver.json") as f:
+            drv = json.load(f)
+        it = drv["iter"]
+        base = drv["base"]
+        max_radius = drv["max_radius"]
+        root_pid = drv["root_pid"]
+        verts = [tuple(v) for v in drv["verts"]]
+        vlevel = {int(k): v for k, v in drv["vlevel"].items()}
+        chains = {int(k): v for k, v in drv["chains"].items()}
+        coords = {int(k): tuple(v) for k, v in drv["coords"].items()}
+        metrics = drv["metrics"]
+        state = spark.read.parquet(f"{checkpoint_dir}/state").localCheckpoint(eager=True)
+    else:
+        # --- initialize root hub (CoverTree.cpp:56-91) ---------------------
+        root = pts.orderBy("pid").limit(1).collect()[0]
+        root_pid = int(root.pid)
+        rx, ry = float(root.x), float(root.y)
+        state = pts.select(
+            "pid", "x", "y",
+            F.sqrt(
+                (F.col("x").cast("double") - F.lit(rx)) ** 2
+                + (F.col("y").cast("double") - F.lit(ry)) ** 2
+            ).alias("dist"),
+            F.lit(0).cast("long").alias("hub_vtx"),
+            F.lit(root_pid).cast("long").alias("hub_pt"),
+            F.lit(-1).cast("long").alias("leaf_parent"),
+        ).localCheckpoint(eager=True)
+        max_radius = float(state.agg(F.max("dist")).collect()[0][0] or 0.0)
+        verts = [(0, root_pid, -1, 0)]
+        vlevel = {0: 0}
+        chains: dict[int, list[int]] = {0: [root_pid]}
+        coords: dict[int, tuple[float, float]] = {root_pid: (rx, ry)}
+
+    if max_radius == 0.0:
+        # degenerate: all points coincide → every point is a leaf under root
+        leafs = state.select(
+            (F.lit(LEAF_VID_BASE) + F.col("pid")).alias("vertex_id"),
+            F.col("pid").alias("point_id"),
+            F.lit(0).cast("long").alias("parent_id"),
+            F.lit(1).cast("long").alias("level"),
+        )
+        top = _vertices_df(spark, verts).unionByName(leafs)
+        return CoverTreeModel(base, 0.0, root_pid, top, None, points, [],
+                              _metrics_df(spark, metrics), 0)
+
+    while chains and (max_iters is None or it < max_iters):
+        if hub_cutoff is not None and len(chains) >= hub_cutoff:
+            break
+        t0 = time.time()
+        it += 1
+        far = _collect_farthest(state)  # job: materializes current state
+
+        # --- driver: update hub chains (CoverTree.cpp:133-179) -------------
+        leaf_set: list[int] = []
+        split_rows: list[tuple[int, int]] = []   # (member_pid, new_vid)
+        tails: list[tuple[int, int, float, float]] = []  # (hub, tail_pid, x, y)
+        n_ext = 0
+        for row in far:
+            hub = int(row.hub_vtx)
+            fpid, fx, fy, fd = int(row.far.pid), float(row.far.x), float(row.far.y), float(row.far.dist)
+            fdn = fd / max_radius
+            ball = base ** (-1.0 * vlevel[hub])
+            if fdn == 0.0:
+                leaf_set.append(hub)
+                del chains[hub]
+            elif fdn <= ball / base:
+                for member in chains[hub]:
+                    vid = len(verts)
+                    verts.append((vid, member, hub, vlevel[hub] + 1))
+                    vlevel[vid] = vlevel[hub] + 1
+                    chains[vid] = [member]
+                    mx, my = coords[member]
+                    tails.append((vid, member, mx, my))
+                    split_rows.append((member, vid))
+                del chains[hub]
+            else:
+                chains[hub].append(fpid)
+                coords[fpid] = (fx, fy)
+                tails.append((hub, fpid, fx, fy))
+                n_ext += 1
+
+        # --- one state transform: leaves → splits → dist update ------------
+        s = state
+        if leaf_set:
+            is_leaf = F.col("hub_vtx").isin(leaf_set)
+            s = s.select(
+                "pid", "x", "y",
+                F.when(is_leaf, F.lit(0.0)).otherwise(F.col("dist")).alias("dist"),
+                F.when(is_leaf, F.lit(-1).cast("long")).otherwise(F.col("hub_vtx")).alias("hub_vtx"),
+                F.when(is_leaf, F.lit(-1).cast("long")).otherwise(F.col("hub_pt")).alias("hub_pt"),
+                F.when(is_leaf, F.col("hub_vtx")).otherwise(F.col("leaf_parent")).alias("leaf_parent"),
+            )
+        if split_rows:
+            smap = spark.createDataFrame(split_rows, "m_pid long, new_vid long")
+            s = (
+                s.join(F.broadcast(smap),
+                       (F.col("hub_pt") == F.col("m_pid")) & (F.col("hub_vtx") >= 0),
+                       "left")
+                .select(
+                    "pid", "x", "y", "dist",
+                    F.coalesce("new_vid", "hub_vtx").alias("hub_vtx"),
+                    "hub_pt", "leaf_parent",
+                )
+            )
+        if tails:
+            tdf = spark.createDataFrame(tails, "t_hub long, t_pid long, tx double, ty double")
+            cur = F.sqrt(
+                (F.col("x").cast("double") - F.col("tx")) ** 2
+                + (F.col("y").cast("double") - F.col("ty")) ** 2
+            )
+            upd = F.col("t_hub").isNotNull() & (cur <= F.col("dist"))
+            s = (
+                s.join(F.broadcast(tdf), F.col("hub_vtx") == F.col("t_hub"), "left")
+                .select(
+                    "pid", "x", "y",
+                    F.when(upd, cur).otherwise(F.col("dist")).alias("dist"),
+                    "hub_vtx",
+                    F.when(upd, F.col("t_pid")).otherwise(F.col("hub_pt")).alias("hub_pt"),
+                    "leaf_parent",
+                )
+            )
+        # localCheckpoint: cut lineage every iteration (iterative plans grow
+        # superlinearly otherwise); eager=False → materialized by next job
+        state = s.localCheckpoint(eager=False)
+
+        metrics.append({
+            "iter": it, "n_hubs": len(chains), "n_leaf_hubs": len(leaf_set),
+            "n_split_verts": len(split_rows), "n_extended": n_ext,
+            "duration_ms": int((time.time() - t0) * 1000),
+            "n_partitions": state.rdd.getNumPartitions(),
+        })
+
+        if checkpoint_dir and (it % checkpoint_every == 0 or not chains):
+            _write_checkpoint(checkpoint_dir, state, it, base, max_radius,
+                              root_pid, verts, vlevel, chains, coords, metrics)
+
+    # --- local phase (DistCoverTree.cpp:814-934 analog) ---------------------
+    local_trees = None
+    local_roots: list[int] = []
+    if chains:
+        local_roots = sorted(chains.keys())
+        hub_meta = spark.createDataFrame(
+            [(h, vlevel[h], chains[h][0]) for h in local_roots],
+            "h_vtx long, h_level long, h_pid long",
+        )
+        active = state.where(F.col("hub_vtx") >= 0).join(
+            F.broadcast(hub_meta), F.col("hub_vtx") == F.col("h_vtx")
+        )
+        b = base
+
+        def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            hub = int(pdf["hub_vtx"].iloc[0])
+            hlevel = int(pdf["h_level"].iloc[0])
+            hpid = int(pdf["h_pid"].iloc[0])
+            # root (hub point) first, members by ascending pid: deterministic
+            pdf = pdf.sort_values(
+                ["_is_root", "pid"], ascending=[False, True], kind="mergesort"
+            )
+            pids = pdf["pid"].to_numpy(np.int64)
+            xy = np.stack(
+                [pdf["x"].to_numpy(np.float32), pdf["y"].to_numpy(np.float32)], axis=1
+            )
+            t = build_cover_tree_np(xy, base=b)
+            return pd.DataFrame({
+                "hub_id": np.full(len(t.pt), hub, dtype=np.int64),
+                "lvertex_id": np.arange(len(t.pt), dtype=np.int64),
+                "point_id": pids[t.pt],
+                "lparent_id": t.parent.astype(np.int64),
+                "level": t.level + hlevel,
+                "px": xy[t.pt, 0],
+                "py": xy[t.pt, 1],
+                "lmax_radius": np.full(len(t.pt), t.max_radius, dtype=np.float64),
+            })
+
+        local_trees = (
+            active.withColumn("_is_root", F.col("pid") == F.col("h_pid"))
+            .groupBy("hub_vtx")
+            .applyInPandas(build_group, LOCAL_TREE_SCHEMA)
+            .localCheckpoint(eager=True)
+        )
+
+    # --- assemble top-tree vertex table --------------------------------------
+    top = _vertices_df(spark, verts)
+    lvl_map = spark.createDataFrame(
+        [(v, l) for v, l in vlevel.items()], "lv_vid long, lv_level long"
+    )
+    leaf_rows = state.where(F.col("leaf_parent") >= 0)
+    leafs = (
+        leaf_rows.join(F.broadcast(lvl_map), F.col("leaf_parent") == F.col("lv_vid"))
+        .select(
+            (F.lit(LEAF_VID_BASE) + F.col("pid")).alias("vertex_id"),
+            F.col("pid").alias("point_id"),
+            F.col("leaf_parent").alias("parent_id"),
+            (F.col("lv_level") + 1).alias("level"),
+        )
+    )
+    vertices = top.unionByName(leafs).localCheckpoint(eager=True)
+
+    return CoverTreeModel(
+        base, max_radius, root_pid, vertices, local_trees, points,
+        local_roots, _metrics_df(spark, metrics), it,
+    )
+
+
+def _vertices_df(spark: SparkSession, verts: list[tuple]) -> DataFrame:
+    return spark.createDataFrame(
+        verts, "vertex_id long, point_id long, parent_id long, level long"
+    )
+
+
+def _metrics_df(spark: SparkSession, metrics: list[dict]) -> DataFrame:
+    schema = ("iter long, n_hubs long, n_leaf_hubs long, n_split_verts long, "
+              "n_extended long, duration_ms long, n_partitions long")
+    rows = [
+        (m["iter"], m["n_hubs"], m["n_leaf_hubs"], m["n_split_verts"],
+         m["n_extended"], m["duration_ms"], m["n_partitions"])
+        for m in metrics
+    ]
+    return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+
+
+def _write_checkpoint(checkpoint_dir, state, it, base, max_radius, root_pid,
+                      verts, vlevel, chains, coords, metrics) -> None:
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    state.write.mode("overwrite").parquet(f"{checkpoint_dir}/state")
+    tmp = f"{checkpoint_dir}/driver.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump({
+            "iter": it, "base": base, "max_radius": max_radius,
+            "root_pid": root_pid, "verts": verts,
+            "vlevel": {str(k): v for k, v in vlevel.items()},
+            "chains": {str(k): v for k, v in chains.items()},
+            "coords": {str(k): list(v) for k, v in coords.items()},
+            "metrics": metrics,
+        }, f)
+    os.replace(tmp, f"{checkpoint_dir}/driver.json")

@@ -1,0 +1,259 @@
+"""Sequential cover-tree kernel (numpy, Arrow-batch friendly).
+
+A from-scratch vectorized implementation of the level-batched cover-tree
+*semantics* defined by the reference (``/root/reference/src/CoverTree.cpp``):
+
+- per-hub farthest-point selection, strict ``>`` argmax ⇒ lowest index wins
+  ties (CoverTree.cpp:117);
+- chain update rules (CoverTree.cpp:133-165): farthest_dist==0 → leaf hub;
+  ≤ ball(hub)/base → split chain into new hubs; else extend chain;
+- leaf processing deactivates every point of the hub as a child vertex
+  (CoverTree.cpp:181-203);
+- split processing re-homes points to the new hub of their nearest chain
+  member (CoverTree.cpp:215-268);
+- incremental distance maintenance against only the newest chain member,
+  ``<=`` update (CoverTree.cpp:288-302);
+- traversal query with triangle-inequality pruning
+  ``d(q,v) ≤ r + max_radius·base^{-level(v)}`` (CoverTree.cpp:356-372).
+
+Float discipline: float32 storage, float64 arithmetic (Point.cpp:27-38).
+
+This kernel is used (a) per hub inside ``applyInPandas`` for the distributed
+build's local phase (the reference's ``build_local_trees`` analog,
+DistCoverTree.cpp:814-934), and (b) as the driver-side twin for tests. It is
+NOT a translation of the C++ (no per-point insertion loops; phases are
+vectorized over all hubs at once).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class TreeArrays:
+    """Columnar cover tree: vertex → (point index, level, parent)."""
+
+    pt: np.ndarray        # int64[num_vertices] — point index per vertex
+    level: np.ndarray     # int64[num_vertices]
+    parent: np.ndarray    # int64[num_vertices], -1 for root
+    max_radius: float
+    base: float
+    xy: np.ndarray        # float32[num_points, 2] — the point set
+    # CSR children adjacency (built lazily)
+    _child_off: np.ndarray | None = field(default=None, repr=False)
+    _child_idx: np.ndarray | None = field(default=None, repr=False)
+
+    def children_csr(self) -> tuple[np.ndarray, np.ndarray]:
+        if self._child_off is None:
+            nv = len(self.pt)
+            p = self.parent
+            mask = p >= 0
+            order = np.argsort(p[mask], kind="stable")
+            idx = np.nonzero(mask)[0][order]
+            counts = np.bincount(p[mask], minlength=nv)
+            off = np.zeros(nv + 1, dtype=np.int64)
+            np.cumsum(counts, out=off[1:])
+            self._child_off, self._child_idx = off, idx
+        return self._child_off, self._child_idx
+
+
+def build_cover_tree_np(xy: np.ndarray, base: float = 2.0) -> TreeArrays:
+    """Level-batched build over float32 (n, 2) coords. Point index 0 is the
+    root (the caller orders points; reference uses position 0 too)."""
+    xy = np.ascontiguousarray(xy, dtype=np.float32)
+    n = len(xy)
+    assert n > 0
+    xy64 = xy.astype(np.float64)
+
+    # vertex store
+    v_pt: list[int] = [0]
+    v_level: list[int] = [0]
+    v_parent: list[int] = [-1]
+
+    dists = np.sqrt(((xy64 - xy64[0]) ** 2).sum(axis=1))
+    max_radius = float(dists.max())
+    hub_vtx = np.zeros(n, dtype=np.int64)
+    hub_pt = np.zeros(n, dtype=np.int64)
+    active = np.ones(n, dtype=bool)
+    chains: dict[int, list[int]] = {0: [0]}
+
+    if max_radius == 0.0:
+        # all points coincide with the root: single leaf hub
+        for i in range(n):
+            v_pt.append(i)
+            v_level.append(1)
+            v_parent.append(0)
+        return TreeArrays(
+            np.array(v_pt), np.array(v_level), np.array(v_parent), 0.0, base, xy
+        )
+
+    while chains:
+        # --- farthest active point per hub (argmax, ties → lowest index) ---
+        idx = np.nonzero(active)[0]
+        h = hub_vtx[idx]
+        d = dists[idx]
+        # sort by (hub asc, dist desc, index asc); first row per hub = argmax
+        order = np.lexsort((idx, -d, h))
+        sh = h[order]
+        first = np.ones(len(sh), dtype=bool)
+        first[1:] = sh[1:] != sh[:-1]
+        far_hub = sh[first]
+        far_idx = idx[order][first]
+        far_dist = d[order][first]
+
+        leaf_set: set[int] = set()
+        split_hubs: list[int] = []
+        tails: dict[int, int] = {}
+        for hub, fi, fd in zip(far_hub.tolist(), far_idx.tolist(), far_dist.tolist()):
+            fdn = fd / max_radius
+            ball = base ** (-1.0 * v_level[hub])
+            if fdn == 0.0:
+                leaf_set.add(hub)
+                del chains[hub]
+            elif fdn <= ball / base:
+                split_hubs.append(hub)
+            else:
+                chains[hub].append(fi)
+                tails[hub] = fi
+
+        # --- leaves: every point of the hub becomes a child vertex ----------
+        if leaf_set:
+            leaf_arr = np.fromiter(leaf_set, dtype=np.int64)
+            m = active & np.isin(hub_vtx, leaf_arr)
+            for i in np.nonzero(m)[0]:
+                hub = int(hub_vtx[i])
+                v_pt.append(int(i))
+                v_level.append(v_level[hub] + 1)
+                v_parent.append(hub)
+            active[m] = False
+            hub_vtx[m] = -1
+            hub_pt[m] = -1
+            dists[m] = 0.0
+
+        # --- splits: chain members → new hubs; re-home by nearest member ----
+        if split_hubs:
+            pt_to_newvtx: dict[int, int] = {}
+            for hub in split_hubs:
+                for member in chains[hub]:
+                    vid = len(v_pt)
+                    v_pt.append(int(member))
+                    v_level.append(v_level[hub] + 1)
+                    v_parent.append(hub)
+                    chains[vid] = [int(member)]
+                    tails[vid] = int(member)
+                    pt_to_newvtx[int(member)] = vid
+                del chains[hub]
+            # vectorized re-home: hub_pt is always a chain member of the
+            # point's own hub, and chains are disjoint across hubs
+            keys = np.fromiter(pt_to_newvtx.keys(), dtype=np.int64)
+            vals = np.fromiter((pt_to_newvtx[k] for k in keys.tolist()), dtype=np.int64)
+            srt = np.argsort(keys)
+            keys, vals = keys[srt], vals[srt]
+            m = active
+            pos = np.searchsorted(keys, hub_pt[m])
+            pos_ok = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == hub_pt[m])
+            upd = np.nonzero(m)[0][pos_ok]
+            hub_vtx[upd] = vals[pos[pos_ok]]
+
+        # --- incremental distance update vs newest chain member -------------
+        if tails:
+            th = np.fromiter(tails.keys(), dtype=np.int64)
+            tp = np.fromiter((tails[k] for k in th.tolist()), dtype=np.int64)
+            srt = np.argsort(th)
+            th, tp = th[srt], tp[srt]
+            m = active
+            mi = np.nonzero(m)[0]
+            pos = np.searchsorted(th, hub_vtx[mi])
+            pos_ok = (pos < len(th)) & (th[np.minimum(pos, len(th) - 1)] == hub_vtx[mi])
+            mi = mi[pos_ok]
+            tgt = tp[pos[pos_ok]]
+            cur = np.sqrt(((xy64[mi] - xy64[tgt]) ** 2).sum(axis=1))
+            upd = cur <= dists[mi]
+            dists[mi[upd]] = cur[upd]
+            hub_pt[mi[upd]] = tgt[upd]
+
+    return TreeArrays(
+        np.asarray(v_pt, dtype=np.int64),
+        np.asarray(v_level, dtype=np.int64),
+        np.asarray(v_parent, dtype=np.int64),
+        max_radius,
+        base,
+        xy,
+    )
+
+
+def radii_query_np(
+    tree: TreeArrays,
+    qxy: np.ndarray,
+    radius: float,
+    stop_at: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batched frontier traversal: all queries descend the tree level-by-level
+    as (query, vertex) pair arrays — fully vectorized (no per-query stack).
+
+    Returns (hit_q, hit_pt, route_q, route_vtx): hits are point *indices*
+    within radius; routes are pairs that reached a vertex in ``stop_at``
+    (local-tree roots — the distributed top-tree traversal,
+    DistCoverTree.cpp:1088-1125) and must continue in that subtree.
+    """
+    qxy = np.asarray(qxy, dtype=np.float32).astype(np.float64)
+    nq = len(qxy)
+    off, cidx = tree.children_csr()
+    xy64 = tree.xy.astype(np.float64)
+    stop_mask = np.zeros(len(tree.pt), dtype=bool)
+    if stop_at is not None and len(stop_at):
+        stop_mask[stop_at] = True
+
+    q = np.arange(nq, dtype=np.int64)
+    v = np.zeros(nq, dtype=np.int64)
+    hits_q: list[np.ndarray] = []
+    hits_p: list[np.ndarray] = []
+    route_q: list[np.ndarray] = []
+    route_v: list[np.ndarray] = []
+
+    # ball radius bound per vertex: r + max_radius * base^-level
+    bound = radius + tree.max_radius * np.power(tree.base, -1.0 * tree.level)
+
+    while len(q):
+        if stop_mask.any():
+            routed = stop_mask[v]
+            if routed.any():
+                route_q.append(q[routed])
+                route_v.append(v[routed])
+                q, v = q[~routed], v[~routed]
+                if not len(q):
+                    break
+        d = np.sqrt(((qxy[q] - xy64[tree.pt[v]]) ** 2).sum(axis=1))
+        hit = d <= radius
+        hits_q.append(q[hit])
+        hits_p.append(tree.pt[v[hit]])
+        # expand children whose covering ball can intersect the query ball
+        nch = off[v + 1] - off[v]
+        keep = nch > 0
+        qk, vk = q[keep], v[keep]
+        nk = nch[keep]
+        childs = cidx[
+            np.repeat(off[vk], nk) + _ragged_arange(nk)
+        ]
+        qrep = np.repeat(qk, nk)
+        dc = np.sqrt(((qxy[qrep] - xy64[tree.pt[childs]]) ** 2).sum(axis=1))
+        ok = dc <= bound[childs]
+        q, v = qrep[ok], childs[ok]
+
+    cat = lambda parts: np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+    return cat(hits_q), cat(hits_p), cat(route_q), cat(route_v)
+
+
+def _ragged_arange(counts: np.ndarray) -> np.ndarray:
+    """[3,1,2] → [0,1,2,0,0,1] — per-group aranges without Python loops."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    ends = np.cumsum(counts)[:-1]
+    out[ends] = -(counts[:-1] - 1)
+    return np.cumsum(out)

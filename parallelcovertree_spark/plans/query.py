@@ -1,0 +1,163 @@
+"""Tree-accelerated queries: routed radius search over the two-phase tree.
+
+The reference's distributed query replicates ALL points to every rank
+(DistCoverTree.cpp:679-724) — its stated scalability weak spot. We do what its
+``idea.txt`` proposes instead: broadcast only the (small) top tree, traverse it
+per query batch to find (a) direct hits and (b) the local-tree roots whose
+covering balls intersect the query ball (DistCoverTree.cpp:1088-1125
+``local_radii_query`` semantics), then SHUFFLE each query to its target hubs
+and finish inside a ``cogroup(...).applyInPandas`` against the co-located
+local-tree partition — the Spark analog of the reference's batched
+query-routing design note (idea.txt:1-21, SURVEY J6).
+
+Result sets are unioned + dedup'd (the reference's ``allgather_distinct``,
+DistCoverTree.cpp:657-677).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parallelcovertree_spark.plans.covertree import CoverTreeModel
+from parallelcovertree_spark.plans.local_tree import TreeArrays, radii_query_np
+
+_STAGE1_SCHEMA = "qid long, kind int, key long, qx double, qy double"
+
+
+def _top_tree_arrays(model: CoverTreeModel) -> tuple[TreeArrays, np.ndarray, np.ndarray]:
+    """Collect the top tree into dense driver-side arrays.
+
+    Returns (tree, vid_by_index, stop_indices). Point coords are joined from
+    the points table (SURVEY F6 projection vertex→point)."""
+    rows = (
+        model.vertices.join(
+            model.points.select(F.col("id").alias("point_id"), "x", "y"), "point_id"
+        )
+        .select("vertex_id", "point_id", "parent_id", "level", "x", "y")
+        .collect()
+    )
+    rows.sort(key=lambda r: r.vertex_id)
+    vid = np.array([r.vertex_id for r in rows], dtype=np.int64)
+    vidx = {int(v): i for i, v in enumerate(vid)}
+    pid = np.array([r.point_id for r in rows], dtype=np.int64)
+    # dense point indexing in first-appearance order
+    upid, codes = np.unique(pid, return_inverse=True)
+    xy = np.zeros((len(upid), 2), dtype=np.float32)
+    xy[codes, 0] = np.array([r.x for r in rows], dtype=np.float32)
+    xy[codes, 1] = np.array([r.y for r in rows], dtype=np.float32)
+    parent = np.array(
+        [vidx[int(r.parent_id)] if r.parent_id >= 0 else -1 for r in rows],
+        dtype=np.int64,
+    )
+    level = np.array([r.level for r in rows], dtype=np.int64)
+    tree = TreeArrays(codes.astype(np.int64), level, parent, model.max_radius, model.base, xy)
+    stop = np.array([vidx[h] for h in model.local_roots], dtype=np.int64)
+    return tree, upid, stop  # upid maps point index → global pid
+
+
+def tree_radius_join(
+    model: CoverTreeModel,
+    queries: DataFrame,
+    radius: float,
+    qid_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """All (qid, point_id) with d ≤ radius, answered through the tree."""
+    spark = queries.sparkSession
+    tree, upid, stop = _top_tree_arrays(model)
+    vid_of_stop = np.array(model.local_roots, dtype=np.int64)
+    stop_to_vid = dict(zip(stop.tolist(), vid_of_stop.tolist()))
+    bc = spark.sparkContext.broadcast((tree, upid, stop, stop_to_vid))
+    r = float(radius)
+    base = model.base  # plain scalar for executor closures (model holds DFs)
+
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("qid"),
+        F.col(x).cast("double").alias("qx"),
+        F.col(y).cast("double").alias("qy"),
+    )
+
+    def stage1(batches):
+        t, point_ids, stop_idx, s2v = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qxy = np.stack([pdf["qx"].to_numpy(), pdf["qy"].to_numpy()], axis=1)
+            hq, hp, rq, rv = radii_query_np(t, qxy, r, stop_at=stop_idx)
+            out = []
+            if len(hq):
+                out.append(pd.DataFrame({
+                    "qid": pdf["qid"].to_numpy()[hq],
+                    "kind": np.zeros(len(hq), dtype=np.int32),
+                    "key": point_ids[hp],
+                    "qx": pdf["qx"].to_numpy()[hq],
+                    "qy": pdf["qy"].to_numpy()[hq],
+                }))
+            if len(rq):
+                out.append(pd.DataFrame({
+                    "qid": pdf["qid"].to_numpy()[rq],
+                    "kind": np.ones(len(rq), dtype=np.int32),
+                    "key": np.array([s2v[int(v)] for v in rv], dtype=np.int64),
+                    "qx": pdf["qx"].to_numpy()[rq],
+                    "qy": pdf["qy"].to_numpy()[rq],
+                }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    routed = q.mapInPandas(stage1, _STAGE1_SCHEMA).persist()
+    hits_top = routed.where(F.col("kind") == 0).select("qid", F.col("key").alias("pid"))
+
+    if model.local_trees is None:
+        out = hits_top.distinct().select(F.col("qid").alias("src"), F.col("pid").alias("dst"))
+        routed.unpersist()
+        return out
+
+    to_route = routed.where(F.col("kind") == 1).select(
+        F.col("key").alias("hub_id"), "qid", "qx", "qy"
+    )
+
+    def stage2(key, routes_pdf: pd.DataFrame, tree_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(routes_pdf) or not len(tree_pdf):
+            return pd.DataFrame({"qid": pd.Series(dtype=np.int64), "pid": pd.Series(dtype=np.int64)})
+        tree_pdf = tree_pdf.sort_values("lvertex_id", kind="mergesort")
+        pids = tree_pdf["point_id"].to_numpy(np.int64)
+        codes, uniques = pd.factorize(pids)
+        xy = np.zeros((len(uniques), 2), dtype=np.float32)
+        xy[codes, 0] = tree_pdf["px"].to_numpy(np.float32)
+        xy[codes, 1] = tree_pdf["py"].to_numpy(np.float32)
+        lvl = tree_pdf["level"].to_numpy(np.int64)
+        lvl = lvl - lvl[0]  # local levels (fresh local max_radius, ref parity)
+        t = TreeArrays(
+            codes.astype(np.int64), lvl,
+            tree_pdf["lparent_id"].to_numpy(np.int64),
+            float(tree_pdf["lmax_radius"].iloc[0]),
+            base, xy,
+        )
+        qxy = np.stack([routes_pdf["qx"].to_numpy(), routes_pdf["qy"].to_numpy()], axis=1)
+        hq, hp, _, _ = radii_query_np(t, qxy, r)
+        return pd.DataFrame({
+            "qid": routes_pdf["qid"].to_numpy()[hq],
+            "pid": uniques[hp].astype(np.int64),
+        })
+
+    hits_local = (
+        to_route.groupBy("hub_id")
+        .cogroup(model.local_trees.groupBy("hub_id"))
+        .applyInPandas(stage2, "qid long, pid long")
+    )
+    out = (
+        hits_top.unionByName(hits_local)
+        .distinct()
+        .select(F.col("qid").alias("src"), F.col("pid").alias("dst"))
+    )
+    return out
+
+
+def tree_epsilon_graph(model: CoverTreeModel, radius: float) -> DataFrame:
+    """ε-graph through the tree (CoverTree.cpp:374-384): every point queries
+    its own radius neighborhood; self-loops included by construction."""
+    return tree_radius_join(model, model.points, radius)

@@ -151,6 +151,26 @@ def farthest_per_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "covertree_epsilon_graph",
+    f"""{_PTS_CTE}
+SELECT a.id AS src, b.id AS dst
+FROM pts a, pts b
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {EPS_RADIUS * EPS_RADIUS!r}
+""",
+)
+def covertree_epsilon_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY section 3: level-batched two-phase cover-tree build + routed
+    tree ε-query. Same brute-force oracle as the grid join — the tree is an
+    index, the answer set is identical (reference correctness contract,
+    programs/epsilon_graph.cpp:111-143)."""
+    from parallelcovertree_spark.plans.covertree import build_cover_tree
+    from parallelcovertree_spark.plans.query import tree_epsilon_graph
+
+    model = build_cover_tree(_doc_points(spark, sf_dir), hub_cutoff=32)
+    return tree_epsilon_graph(model, EPS_RADIUS)
+
+
 # --- text analysis ------------------------------------------------------------
 
 @_register(

@@ -115,6 +115,9 @@ def _ring_candidates(left: DataFrame, right: DataFrame, r: float) -> DataFrame:
         lt.join(rt, "_cell")
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst", d2.alias("dist2"))
+        # prune beyond-radius candidates before the per-src window sort:
+        # anything > r can never certify, and all certified neighbors are ≤ r
+        .where(F.col("dist2") <= F.lit(r * r))
     )
 
 

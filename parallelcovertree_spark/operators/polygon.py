@@ -1,0 +1,123 @@
+"""Point-in-polygon joins and raster↔vector tile assignment (north rule ops).
+
+Polygons are deterministic convex hexagons (center from the SQL-parity
+geocoder, rational vertex offsets) so every predicate is plain IEEE arithmetic
+reproducible in DuckDB oracles. PIP for a convex polygon = AND of half-plane
+sign tests over the (ccw) edge list — pure Catalyst expressions, no UDF.
+
+Physical plans:
+- ``point_in_polygon_join``: polygon set is small by nature → **broadcast**
+  join with a bbox prune ahead of the exact sign tests (the prune is
+  conservative: a point outside the bbox is provably outside the hexagon, so
+  results are exact).
+- ``raster_vector_join``: the same query through the **raster path** — polygons
+  rasterized to covering cells (vector→raster), points bucketed to cells
+  (raster side of tile_assignment), cell equi-join prefilter, exact verify.
+  Same output rows, different physical strategy: this is the plan that scales
+  when the polygon set is NOT broadcastable.
+- ``polygon_tile_cover``: vector→raster assignment itself (poly_id, cell_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from parallelcovertree_spark.functions.cells import cell_id
+
+# regular hexagon, counter-clockwise, rational-ish literals (exact doubles)
+HEX = [(1.0, 0.0), (0.5, 0.866025), (-0.5, 0.866025),
+       (-1.0, 0.0), (-0.5, -0.866025), (0.5, -0.866025)]
+
+
+def polygons_from_ids(ids_df: DataFrame, id_col: str, cx_sql: str, cy_sql: str) -> DataFrame:
+    """(poly_id, cx, cy, rp) — deterministic hexagon parameters per id."""
+    return ids_df.select(
+        F.col(id_col).alias("poly_id"),
+        F.expr(cx_sql).alias("cx"),
+        F.expr(cy_sql).alias("cy"),
+        (F.lit(1.0) + (F.col(id_col) % 4).cast("double") * F.lit(0.5)).alias("rp"),
+    )
+
+
+def _inside(px: Column, py: Column, cx: Column, cy: Column, rp: Column) -> Column:
+    """AND of cross-product sign tests over the ccw hexagon edges."""
+    cond = F.lit(True)
+    for k in range(len(HEX)):
+        ox1, oy1 = HEX[k]
+        ox2, oy2 = HEX[(k + 1) % len(HEX)]
+        x1, y1 = cx + rp * F.lit(ox1), cy + rp * F.lit(oy1)
+        x2, y2 = cx + rp * F.lit(ox2), cy + rp * F.lit(oy2)
+        cond = cond & ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= F.lit(0.0))
+    return cond
+
+
+def inside_sql(px: str, py: str) -> str:
+    """The identical predicate as SQL text (DuckDB oracle), on columns
+    cx, cy, rp."""
+    terms = []
+    for k in range(len(HEX)):
+        ox1, oy1 = HEX[k]
+        ox2, oy2 = HEX[(k + 1) % len(HEX)]
+        x1 = f"(cx + rp * {ox1!r})"
+        y1 = f"(cy + rp * {oy1!r})"
+        x2 = f"(cx + rp * {ox2!r})"
+        y2 = f"(cy + rp * {oy2!r})"
+        terms.append(
+            f"(({x2} - {x1}) * (({py}) - {y1}) - ({y2} - {y1}) * (({px}) - {x1}) >= 0.0)"
+        )
+    return " AND ".join(terms)
+
+
+def point_in_polygon_join(
+    points: DataFrame, polys: DataFrame,
+    id_col: str = "id", x: str = "x", y: str = "y",
+) -> DataFrame:
+    """(point_id, poly_id) via broadcast + bbox prune + exact sign tests."""
+    px, py = F.col(x).cast("double"), F.col(y).cast("double")
+    cx, cy, rp = F.col("cx"), F.col("cy"), F.col("rp")
+    bbox = (px >= cx - rp) & (px <= cx + rp) & (py >= cy - rp) & (py <= cy + rp)
+    return (
+        points.join(F.broadcast(polys), bbox & _inside(px, py, cx, cy, rp))
+        .select(F.col(id_col).alias("point_id"), "poly_id")
+    )
+
+
+def polygon_tile_cover(polys: DataFrame, res: float) -> DataFrame:
+    """(poly_id, cell_id): cells whose tile intersects the polygon bbox —
+    vector→raster assignment (sequence + explode, pure Catalyst)."""
+    r = float(res)
+    ix0 = F.floor((F.col("cx") - F.col("rp")) / F.lit(r)).cast("long")
+    ix1 = F.floor((F.col("cx") + F.col("rp")) / F.lit(r)).cast("long")
+    iy0 = F.floor((F.col("cy") - F.col("rp")) / F.lit(r)).cast("long")
+    iy1 = F.floor((F.col("cy") + F.col("rp")) / F.lit(r)).cast("long")
+    from parallelcovertree_spark.functions.cells import cell_id_from_ix
+
+    return (
+        polys.withColumn("ix", F.explode(F.sequence(ix0, ix1)))
+        .withColumn("iy", F.explode(F.sequence(iy0, iy1)))
+        .select("poly_id", cell_id_from_ix(F.col("ix"), F.col("iy")).alias("cell_id"))
+    )
+
+
+def raster_vector_join(
+    points: DataFrame, polys: DataFrame, res: float,
+    id_col: str = "id", x: str = "x", y: str = "y",
+) -> DataFrame:
+    """Same rows as ``point_in_polygon_join``, through the raster path:
+    cell equi-join between rasterized polygons and bucketed points, then the
+    exact predicate. Scales to non-broadcastable polygon sets (one shuffle on
+    the cell key, AQE-skew-splittable)."""
+    cover = polygon_tile_cover(polys, res).join(polys, "poly_id")
+    pts = points.select(
+        F.col(id_col).alias("point_id"),
+        F.col(x).cast("double").alias("px"),
+        F.col(y).cast("double").alias("py"),
+        cell_id(x, y, res).alias("cell_id"),
+    )
+    px, py = F.col("px"), F.col("py")
+    return (
+        pts.join(cover, "cell_id")
+        .where(_inside(px, py, F.col("cx"), F.col("cy"), F.col("rp")))
+        .select("point_id", "poly_id")
+    )

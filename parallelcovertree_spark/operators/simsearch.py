@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (training-pipeline operators).
+
+Approximate-nearest-neighbor surface for `array<float>` embeddings:
+
+- ``cosine_topk``: exact brute-force cosine top-k — the correctness baseline
+  (the reference's exact-ground-truth discipline, programs/epsilon_graph.cpp).
+- ``lsh_buckets`` / ``lsh_neardup``: random-hyperplane LSH — the scale path.
+  Hyperplane weights are *deterministic integers* from a hash formula, and
+  embeddings are quantized to integers (round(v·10⁴)), so every score is
+  exact integer arithmetic: bit-identical across Spark, DuckDB, and any
+  summation order. That makes ANN results oracle-checkable — no FP-tolerance
+  hand-waving.
+
+All expressions are Catalyst higher-order functions (``transform`` /
+``zip_with`` / ``aggregate``) — JVM-side, no Python in the hot path.
+The cross-join baseline is quadratic by definition (test scale); the LSH
+bucket join is the 100 TB plan: one shuffle on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 10_000
+_WA = 2654435761
+_WB = 2246822519
+_WM = 1_000_003
+_WOFF = 500_001
+
+
+def plane_weight(i: int, p: int) -> int:
+    """Deterministic hyperplane weight for 1-based dim index i, plane p."""
+    return (i * _WA + (p + 1) * _WB) % _WM - _WOFF
+
+
+def quantize(col: Column | str) -> Column:
+    """float array → exact integer array (round(v·QUANT))."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda v: F.round(v * QUANT).cast("long"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product via zip_with + aggregate (order-independent)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _prep(emb: DataFrame, id_col: str, vec_col: str, role: str) -> DataFrame:
+    i = "src" if role == "l" else "dst"
+    return emb.select(
+        F.col(id_col).alias(i), quantize(vec_col).alias(f"qv_{role}")
+    ).withColumn(f"n2_{role}", dot(F.col(f"qv_{role}"), F.col(f"qv_{role}")))
+
+
+def cosine_topk(
+    emb: DataFrame, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact top-k by quantized cosine → (src, nbr_rank, dst)."""
+    a = _prep(emb, id_col, vec_col, "l")
+    b = _prep(emb, id_col, vec_col, "r")
+    cos = dot(F.col("qv_l"), F.col("qv_r")) / (
+        F.sqrt(F.col("n2_l").cast("double")) * F.sqrt(F.col("n2_r").cast("double"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
+    return (
+        a.crossJoin(b)
+        .where(F.col("src") != F.col("dst"))
+        .withColumn("cos", cos)
+        .withColumn("nbr_rank", F.row_number().over(w))
+        .where(F.col("nbr_rank") <= k)
+        .select("src", "nbr_rank", "dst")
+    )
+
+
+def bucket_col(qv: Column, dim: int, planes: int) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = [⟨qv, w_p⟩ > 0]."""
+    acc = F.lit(0).cast("long")
+    for p in range(planes):
+        wts = F.array(*[F.lit(plane_weight(i, p)) for i in range(1, dim + 1)])
+        bit = (dot(qv, wts) > 0).cast("long")
+        acc = acc + bit * F.lit(1 << p)
+    return acc
+
+
+def lsh_buckets(
+    emb: DataFrame, dim: int = 64, planes: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) — the shuffle key for the scale-path ANN join."""
+    return emb.select(
+        F.col(id_col), bucket_col(quantize(vec_col), dim, planes).alias("bucket")
+    )
+
+
+def lsh_neardup(
+    emb: DataFrame, tau: float, dim: int = 64, planes: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs: same LSH bucket AND cosine ≥ tau, src < dst.
+    One hash-partitioned equi-join on the bucket key (candidate generation)
+    with the exact quantized-cosine verify fused into the join filter."""
+    q = emb.select(
+        F.col(id_col).alias("id"), quantize(vec_col).alias("qv")
+    ).withColumn("bucket", bucket_col(F.col("qv"), dim, planes))
+    q = q.withColumn("n2", dot(F.col("qv"), F.col("qv")))
+    a = q.select(F.col("id").alias("src"), F.col("qv").alias("qa"),
+                 F.col("n2").alias("na"), "bucket")
+    b = q.select(F.col("id").alias("dst"), F.col("qv").alias("qb"),
+                 F.col("n2").alias("nb"), "bucket")
+    cos = dot(F.col("qa"), F.col("qb")) / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("src") < F.col("dst"))
+        .where(cos >= F.lit(tau))
+        .select("src", "dst")
+    )

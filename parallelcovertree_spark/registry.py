@@ -302,6 +302,270 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.distinct()
 
 
+# --- point-in-polygon + raster↔vector tiles ------------------------------------
+
+_POLY_ID_EXPR = "(n_nationkey * 131 + 7)"
+_POLY_CX = geo.X_SQL.format(id=_POLY_ID_EXPR)
+_POLY_CY = geo.Y_SQL.format(id=_POLY_ID_EXPR)
+_POLYS_CTE = f"""polys AS (
+  SELECT n_nationkey AS poly_id, {_POLY_CX} AS cx, {_POLY_CY} AS cy,
+         1.0 + CAST(n_nationkey % 4 AS DOUBLE) * 0.5 AS rp
+  FROM nation WHERE n_nationkey < 8
+)"""
+
+
+def _polys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parallelcovertree_spark.operators.polygon import polygons_from_ids
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").where("n_nationkey < 8")
+    return polygons_from_ids(nat, "n_nationkey", _POLY_CX, _POLY_CY)
+
+
+def _pip_oracle() -> str:
+    from parallelcovertree_spark.operators.polygon import inside_sql
+
+    return f"""{_PTS_CTE},
+{_POLYS_CTE}
+SELECT p.id AS point_id, poly_id
+FROM pts p, polys
+WHERE {inside_sql('p.x', 'p.y')}
+"""
+
+
+@_register("point_in_polygon", None)
+def point_in_polygon_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP spatial join (north rule): broadcast polys, bbox prune + exact
+    half-plane tests, all Catalyst expressions."""
+    from parallelcovertree_spark.operators.polygon import point_in_polygon_join
+
+    return point_in_polygon_join(_doc_points(spark, sf_dir), _polys(spark, sf_dir))
+
+
+@_register("raster_vector_join", None)
+def raster_vector_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same logical query through the raster path: polygon tile cover ⋈ point
+    tiles on cell id, exact verify. Oracle-identical to point_in_polygon —
+    two physical strategies, one answer."""
+    from parallelcovertree_spark.operators.polygon import raster_vector_join
+
+    return raster_vector_join(
+        _doc_points(spark, sf_dir), _polys(spark, sf_dir), res=TILE_RES
+    )
+
+
+@_register(
+    "polygon_tile_cover",
+    f"""WITH {_POLYS_CTE},
+ixs AS (
+  SELECT poly_id, cy, rp,
+         UNNEST(RANGE(CAST(FLOOR((cx - rp) / {TILE_RES!r}) AS BIGINT),
+                      CAST(FLOOR((cx + rp) / {TILE_RES!r}) AS BIGINT) + 1)) AS ix
+  FROM polys
+)
+SELECT poly_id,
+       (ix + 1048576) * 4294967296 + (iy + 1048576) AS cell_id
+FROM (
+  SELECT poly_id, ix,
+         UNNEST(RANGE(CAST(FLOOR((cy - rp) / {TILE_RES!r}) AS BIGINT),
+                      CAST(FLOOR((cy + rp) / {TILE_RES!r}) AS BIGINT) + 1)) AS iy
+  FROM ixs
+)
+""",
+)
+def polygon_tile_cover_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster tile assignment: (poly_id, covering cell_id)."""
+    from parallelcovertree_spark.operators.polygon import polygon_tile_cover
+
+    return polygon_tile_cover(_polys(spark, sf_dir), res=TILE_RES)
+
+
+# pip and raster-vector share one oracle: same logical query, two physical plans
+_ORACLES["point_in_polygon"] = _pip_oracle()
+_ORACLES["raster_vector_join"] = _pip_oracle()
+
+
+# --- simhash + n-gram jaccard dedup --------------------------------------------
+
+_TOKS_CTE = "SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents"
+_TH = TOKEN_HASH_SQL.format(tok="tok")
+_SIMHASH_CTE = f"""v AS (
+  SELECT doc_id,
+         {", ".join(f"SUM((({_TH} >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(16))}
+  FROM toks GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id,
+         {" + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))} AS simhash
+  FROM v
+)"""
+
+
+@_register(
+    "simhash_fingerprints",
+    f"WITH toks AS ({_TOKS_CTE}),\n{_SIMHASH_CTE}\nSELECT doc_id, simhash FROM sh",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document fingerprint: per-bit majority over token hashes."""
+    from parallelcovertree_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+@_register(
+    "simhash_dup_pairs",
+    f"""WITH toks AS ({_TOKS_CTE}),
+{_SIMHASH_CTE}
+SELECT a.doc_id AS src, b.doc_id AS dst
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id AND BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3
+""",
+)
+def simhash_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3). Engine: exact band-pigeonhole
+    equi-joins (4 bands × 4 bits — no quadratic compare); oracle: brute force."""
+    from parallelcovertree_spark.operators.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+_NGRAM_TAU = 0.3
+
+
+@_register(
+    "ngram_jaccard_dups",
+    f"""WITH toks AS ({_TOKS_CTE}),
+sigs AS (
+  SELECT doc_id, {_mh_expr(0)} AS mh0, {_mh_expr(1)} AS mh1,
+         {_mh_expr(2)} AS mh2, {_mh_expr(3)} AS mh3
+  FROM toks GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, CAST(mh0 AS BIGINT) * {_MH_P} + mh1 AS b0,
+         CAST(mh2 AS BIGINT) * {_MH_P} + mh3 AS b1 FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b
+    ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id
+),
+t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+sh3 AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM t WHERE LEN(w) >= 3
+)
+SELECT src, dst,
+       CAST(LEN(LIST_DISTINCT(LIST_INTERSECT(a.s, b.s))) AS DOUBLE)
+         / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) AS DOUBLE) AS jaccard
+FROM cand JOIN sh3 a ON a.doc_id = src JOIN sh3 b ON b.doc_id = dst
+WHERE CAST(LEN(LIST_DISTINCT(LIST_INTERSECT(a.s, b.s))) AS DOUBLE)
+         / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) AS DOUBLE) >= {_NGRAM_TAU!r}
+""",
+)
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard ≥ τ over MinHash-LSH candidate pairs — the
+    candidates-then-verify dedup pipeline, end to end."""
+    from parallelcovertree_spark.operators.dedup import jaccard_verify
+
+    cands = minhash_dup_pairs(spark, sf_dir)
+    return jaccard_verify(_docs(spark, sf_dir), cands, threshold=_NGRAM_TAU, n=3)
+
+
+# --- similarity search over embeddings (ANN) ----------------------------------
+
+_ANN_DIM = 64
+_ANN_PLANES = 4
+_NEARDUP_TAU = 0.4
+
+_Q_CTE = """WITH q AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(ROUND(v * 10000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+flat AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS e FROM q),
+n AS (SELECT vec_id, SUM(e * e) AS n2 FROM flat GROUP BY vec_id)"""
+
+
+@_register(
+    "ann_cosine_topk",
+    f"""{_Q_CTE},
+d AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, SUM(a.e * b.e) AS dot
+  FROM flat a JOIN flat b USING (i) WHERE a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT src, dst, dot / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cos
+  FROM d JOIN n na ON na.vec_id = d.src JOIN n nb ON nb.vec_id = d.dst
+),
+r AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM c)
+SELECT src, rk AS nbr_rank, dst FROM r WHERE rk <= 10
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 over embeddings — ANN ground-truth baseline.
+    Quantized-integer scores ⇒ bit-identical to the DuckDB oracle."""
+    from parallelcovertree_spark.operators.simsearch import cosine_topk
+
+    return cosine_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=10)
+
+
+def _lsh_bucket_sql() -> str:
+    # same deterministic integer hyperplanes as simsearch.plane_weight
+    from parallelcovertree_spark.operators.simsearch import _WA, _WB, _WM, _WOFF
+
+    bits = []
+    for p in range(_ANN_PLANES):
+        w = f"((i * {_WA} + {p + 1} * {_WB}) % {_WM} - {_WOFF})"
+        bits.append(
+            f"(CASE WHEN SUM(e * {w}) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+@_register(
+    "ann_lsh_buckets",
+    f"""{_Q_CTE}
+SELECT vec_id, {_lsh_bucket_sql()} AS bucket
+FROM flat GROUP BY vec_id
+""",
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (the ANN shuffle key)."""
+    from parallelcovertree_spark.operators.simsearch import lsh_buckets
+
+    return lsh_buckets(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        dim=_ANN_DIM, planes=_ANN_PLANES,
+    )
+
+
+@_register(
+    "embedding_neardup",
+    f"""{_Q_CTE},
+b AS (SELECT vec_id, {_lsh_bucket_sql()} AS bucket FROM flat GROUP BY vec_id),
+d AS (
+  SELECT a.vec_id AS src, b2.vec_id AS dst, SUM(a.e * b2.e) AS dot
+  FROM flat a JOIN flat b2 USING (i)
+  JOIN b ba ON ba.vec_id = a.vec_id JOIN b bb ON bb.vec_id = b2.vec_id
+  WHERE a.vec_id < b2.vec_id AND ba.bucket = bb.bucket
+  GROUP BY 1, 2
+)
+SELECT src, dst
+FROM d JOIN n na ON na.vec_id = d.src JOIN n nb ON nb.vec_id = d.dst
+WHERE dot / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) >= {_NEARDUP_TAU!r}
+""",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH bucket join + exact quantized verify."""
+    from parallelcovertree_spark.operators.simsearch import lsh_neardup
+
+    return lsh_neardup(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        tau=_NEARDUP_TAU, dim=_ANN_DIM, planes=_ANN_PLANES,
+    )
+
+
 # --- generic operator coverage on the star schema ------------------------------
 
 @_register(
@@ -374,6 +638,138 @@ def distinct_status_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(F.col("l_returnflag").alias("flag"))
     o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(F.col("o_orderstatus").alias("flag"))
     return li.unionByName(o).distinct()
+
+
+@_register(
+    "cell_members",
+    f"""{_PTS_CTE}
+SELECT {cell_id_sql('x', 'y', TILE_RES)} AS cell_id,
+       LIST_SORT(LIST(id)) AS members
+FROM pts GROUP BY 1
+""",
+)
+def cell_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY A6: grouped collect (hub → member point ids analog,
+    CoverTree.cpp:386-404)."""
+    return (
+        _doc_points(spark, sf_dir)
+        .groupBy(cell_id("x", "y", TILE_RES).alias("cell_id"))
+        .agg(F.sort_array(F.collect_list("id")).alias("members"))
+    )
+
+
+@_register(
+    "global_index",
+    "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_idx FROM documents",
+)
+def global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY W1: deterministic global index from a stable sort (the
+    MPI_Exscan offset-assignment analog, DistCoverTree.cpp:27-31)."""
+    from pyspark.sql import Window as W
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.row_number().over(W.orderBy("n_chars", "doc_id")).alias("global_idx"),
+    )
+
+
+@_register(
+    "users_without_signup",
+    """SELECT user_id, COUNT(*) AS n_events FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM events s WHERE s.user_id = e.user_id AND s.event_type = 'signup')
+GROUP BY user_id""",
+)
+def users_without_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY E3: set-difference via anti-join (deactivation semantics)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    signup = ev.where(F.col("event_type") == "signup").select("user_id").distinct()
+    return (
+        ev.join(signup, "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@_register(
+    "events_window_counts",
+    """SELECT CAST(FLOOR(EPOCH(ts) / 300) AS BIGINT) * 300 AS bucket, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+FROM events GROUP BY 1, 2""",
+)
+def events_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming job —
+    streaming/jobs.py proves stream==batch with availableNow)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket"),
+            "event_type", "n_events", "sum_cents",
+        )
+    )
+
+
+@_register(
+    "events_sessionize",
+    """WITH t AS (
+  SELECT user_id, event_id, EPOCH_US(ts) AS us,
+         LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id,
+         SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 600000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM t
+)
+SELECT user_id, session_id, COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_id""",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 10-minute-gap sessions via lag + running sum windows."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id",
+        # ts is TIMESTAMP_NTZ; session tz is UTC so the cast is epoch-exact
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    new_sess = F.when(
+        F.lag("us").over(w).isNull() | ((F.col("us") - F.lag("us").over(w)) > 600_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = W.partitionBy("user_id").orderBy("us", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        ev.withColumn("is_new", new_sess)
+        .withColumn("session_id", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@_register(
+    "ball_radii",
+    "SELECT n_nationkey AS level, POW(2.0, -CAST(n_nationkey AS DOUBLE)) AS ball FROM nation",
+)
+def ball_radii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY C2: vertex ball radius base^-level (CoverTree.cpp:51-54);
+    exact binary powers, bit-identical across engines."""
+    return (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select(
+            F.col("n_nationkey").alias("level"),
+            F.pow(F.lit(2.0), -F.col("n_nationkey").cast("double")).alias("ball"),
+        )
+    )
 
 
 def queries() -> dict[str, QueryFn]:

@@ -1,0 +1,60 @@
+"""Streaming jobs with batch twins.
+
+``windowed_event_counts`` works on either a batch or a streaming DataFrame —
+the transformation is written once (watermark applied only when streaming).
+``run_stream_once`` drives the streaming flavor with an availableNow trigger
+into a memory sink, which is how the tests prove batch/stream equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WINDOW = "5 minutes"
+WATERMARK = "10 minutes"
+
+
+def windowed_event_counts(events: DataFrame, streaming: bool = False) -> DataFrame:
+    """Per (5-min window, event_type): count + value sum. Emits the window
+    start as epoch seconds (BIGINT) so batch/stream/oracle compare exactly."""
+    # parquet ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP (session tz is
+    # UTC so the cast is epoch-exact)
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = events.withWatermark("ts", WATERMARK) if streaming else events
+    return (
+        src.groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("double")).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def stream_events_from_parquet(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of event parquet files (the file
+    stream source watches a DIRECTORY; micro-batch = 1 file)."""
+    schema = spark.read.parquet(events_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+
+
+def run_stream_once(stream_df: DataFrame, name: str, checkpoint: str) -> DataFrame:
+    """Drain the stream (availableNow) into a memory sink; return the table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,112 @@
+"""Golden edge-list sink, streaming==batch equivalence, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from parallelcovertree_spark.operators.epsilon_join import epsilon_self_join
+from parallelcovertree_spark.operators.multimodal import (
+    decode_payload,
+    extract_features,
+    frame_sample,
+    synthetic_media,
+    FEATURE_DIM,
+)
+from parallelcovertree_spark.oracle import epsilon_graph_np
+from parallelcovertree_spark.sinks.edges import (
+    read_graph_file,
+    write_graph_dir,
+    write_graph_file,
+)
+from parallelcovertree_spark.sources.synthetic import (
+    gaussian_points_np,
+    synthetic_points,
+)
+from parallelcovertree_spark.streaming.jobs import (
+    run_stream_once,
+    stream_events_from_parquet,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_golden_edge_list_file(tmp_path, spark):
+    """Reference golden format (build_graph.cpp:134-154): header 'n m',
+    1-indexed, per-source ascending, self-loops included."""
+    n, r = 120, 1.0
+    pts = synthetic_points(spark, n)
+    edges = epsilon_self_join(pts, r)
+    path = str(tmp_path / "graph.txt")
+    n_edges = write_graph_file(edges, path, n_verts=n)
+
+    with open(path) as f:
+        lines = f.read().splitlines()
+    assert lines[0] == f"{n} {n_edges}"
+    body = [tuple(map(int, l.split())) for l in lines[1:]]
+    assert body == sorted(body)  # globally sorted (per-source ascending dst)
+    assert all(u >= 1 and v >= 1 for u, v in body)  # 1-indexed
+    assert (1, 1) in body  # self-loop of point 0
+
+    nv, got = read_graph_file(path)
+    assert nv == n and got == epsilon_graph_np(gaussian_points_np(n), r)
+
+
+def test_parallel_edge_list_dir(tmp_path, spark):
+    """Scale-path sink: cat of lexically-ordered parts == golden body."""
+    n, r = 200, 1.0
+    pts = synthetic_points(spark, n)
+    edges = epsilon_self_join(pts, r)
+    single = str(tmp_path / "single.txt")
+    write_graph_file(edges, single, n_verts=n)
+    outdir = tmp_path / "parts"
+    write_graph_dir(edges, str(outdir), partitions=4)
+
+    parts = sorted(p for p in outdir.iterdir() if p.name.startswith("part-"))
+    assert len(parts) > 1
+    body = "".join(p.read_text() for p in parts)
+    assert body == "".join(open(single).readlines()[1:])
+
+
+def test_streaming_matches_batch(tmp_path, spark):
+    import shutil
+
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    shutil.copy(f"{SF}/events.parquet", events_dir / "events.parquet")
+    batch = windowed_event_counts(spark.read.parquet(f"{SF}/events.parquet"))
+    want = {tuple(r) for r in batch.collect()}
+    stream = windowed_event_counts(
+        stream_events_from_parquet(spark, str(events_dir)), streaming=True
+    )
+    got_df = run_stream_once(stream, "evt_counts_test", str(tmp_path / "ckpt"))
+    got = {tuple(r) for r in got_df.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_media_features_plumbing(spark):
+    media = synthetic_media(spark, 90)
+    rows = media.collect()
+    assert len(rows) == 90
+    assert {r.kind for r in rows} == {"image", "audio", "video"}
+    img = next(r for r in rows if r.kind == "image")
+    assert img.meta.width >= 32 and img.meta.sample_rate is None
+
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == 90
+    assert all(len(r.feature) == FEATURE_DIM for r in feats)
+    # deterministic: same doc_id → same features on a second run
+    feats2 = extract_features(synthetic_media(spark, 90), fake=True).collect()
+    assert {(r.doc_id, tuple(r.feature)) for r in feats} == {
+        (r.doc_id, tuple(r.feature)) for r in feats2
+    }
+
+    frames = frame_sample(media, every_n=16).collect()
+    assert len(frames) > 0
+    assert all(len(r.frame_bytes) <= 16 for r in frames)
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x00" * 8, "image", fake=False)

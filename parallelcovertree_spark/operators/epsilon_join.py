@@ -67,7 +67,11 @@ def epsilon_self_join(
         left = left.withColumn("_salt", F.pmod(F.col("src"), F.lit(salt)))
         right = right.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
         keys.append("_salt")
-    pairs = left.join(right, on=keys, how="inner")
+    # shuffle_hash: both sides are corpus-sized — hash-partition on the cell
+    # key, build a per-partition hash table, no sort, never broadcast (the
+    # Generate's size estimate is its child's, 9x under — auto-strategy picks
+    # a driver-side broadcast of the exploded side and serializes)
+    pairs = left.join(right.hint("shuffle_hash"), on=keys, how="inner")
     d2 = dist2_expr("sx", "sy", "tx", "ty")
     cond = d2 <= F.lit(res * res)
     if not include_self:
@@ -107,7 +111,7 @@ def epsilon_join(
     )
     d2 = dist2_expr("sx", "sy", "tx", "ty")
     return (
-        left.join(right, "_cell")
+        left.join(right.hint("shuffle_hash"), "_cell")
         .where(d2 <= F.lit(res * res))
         .select("src", "dst")
     )

@@ -22,6 +22,7 @@ quadratic, test scale only.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -71,37 +72,53 @@ def knn_join(
     left = _prep(base, id_col, x, y, "l")
     right = _prep(base, id_col, x, y, "r").persist()
     resolved_parts: list[DataFrame] = []
+    persisted: list[DataFrame] = []
     unresolved = left.persist()
+    n_total = base.count()
+    # brute-force stragglers only when the pair count is cheap (one broadcast
+    # scan); otherwise another (proportional-cost) ring round is cheaper
+    brute_pair_budget = 200_000_000
 
-    for _ in range(max_rounds):
+    for round_no in range(max_rounds):
+        # candidates are pre-filtered to ≤ r, so a src with ≥ k candidates is
+        # CERTIFIED: its true top-k all lie within r and the ring holds every
+        # point within r. One shuffle; rank + count share the hash partition.
         cand = _ring_candidates(unresolved, right, r)
-        topk = _topk(cand, k).persist()
-        stats = topk.groupBy("src").agg(
-            F.count(F.lit(1)).alias("cnt"), F.max("dist2").alias("kth_d2")
+        wrank = Window.partitionBy("src").orderBy(F.col("dist2").asc(), F.col("dst").asc())
+        wcnt = Window.partitionBy("src")
+        flagged = cand.withColumn("nbr_rank", F.row_number().over(wrank)).withColumn(
+            "cnt", F.count(F.lit(1)).over(wcnt)
         )
-        done_src = stats.where(
-            (F.col("cnt") == k) & (F.col("kth_d2") <= F.lit(r * r))
-        ).select("src")
-        resolved_parts.append(
-            topk.join(F.broadcast(done_src), "src").select("src", "nbr_rank", "dst", "dist2")
-        )
-        nxt = unresolved.join(F.broadcast(done_src), "src", "left_anti").persist()
+        # persist only the top-k survivors (k rows/src), not all candidates
+        resolved = flagged.where(
+            (F.col("cnt") >= k) & (F.col("nbr_rank") <= k)
+        ).persist()
+        persisted.append(resolved)
+        resolved_parts.append(resolved.select("src", "nbr_rank", "dst", "dist2"))
+        nxt = unresolved.join(
+            resolved.select("src").distinct(), "src", "left_anti"
+        ).persist()
         remaining = nxt.count()
         unresolved.unpersist()
         unresolved = nxt
         if remaining == 0:
             break
         r *= 2.0
-    else:
-        # exact fallback for stragglers (tiny set): broadcast them against all
-        cand = F.broadcast(unresolved).join(right, F.col("src") != F.col("dst"))
-        cand = cand.withColumn("dist2", dist2_expr("sx", "sy", "tx", "ty"))
-        resolved_parts.append(_topk(cand, k).select("src", "nbr_rank", "dst", "dist2"))
+        if remaining * n_total <= brute_pair_budget or round_no == max_rounds - 1:
+            cand = F.broadcast(unresolved).join(right, F.col("src") != F.col("dst"))
+            cand = cand.withColumn("dist2", dist2_expr("sx", "sy", "tx", "ty"))
+            resolved_parts.append(_topk(cand, k).select("src", "nbr_rank", "dst", "dist2"))
+            break
 
     out = resolved_parts[0]
     for p in resolved_parts[1:]:
         out = out.unionByName(p)
-    return out.select("src", "nbr_rank", "dst")
+    # materialize and detach from intermediate caches, then release them —
+    # repeated calls must not accumulate cached candidate sets
+    out = out.select("src", "nbr_rank", "dst").localCheckpoint(eager=True)
+    for df in (base, right, unresolved, *persisted):
+        df.unpersist()
+    return out
 
 
 def _ring_candidates(left: DataFrame, right: DataFrame, r: float) -> DataFrame:
@@ -112,13 +129,216 @@ def _ring_candidates(left: DataFrame, right: DataFrame, r: float) -> DataFrame:
     rt = explode_k_ring(right, r, k=1, x="tx", y="ty", out="_cell")
     d2 = dist2_expr("sx", "sy", "tx", "ty")
     return (
-        lt.join(rt, "_cell")
+        lt.join(rt.hint("shuffle_hash"), "_cell")
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst", d2.alias("dist2"))
         # prune beyond-radius candidates before the per-src window sort:
         # anything > r can never certify, and all certified neighbors are ≤ r
         .where(F.col("dist2") <= F.lit(r * r))
     )
+
+
+def knn_join_grid_kernel(
+    points: DataFrame,
+    k: int = 10,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+    r0: float | None = None,
+    cell_factor: float = 2.0,
+    max_rounds: int = 5,
+) -> DataFrame:
+    """Exact kNN via per-cell numpy kernels (the shuffle-lean plan).
+
+    The pure-DataFrame ``knn_join`` shuffles every candidate PAIR (~3-10× the
+    point count) into a per-src window sort. This variant shuffles each POINT
+    at most 9× (the ring explode) and solves each cell's cores against its
+    ring with one vectorized distance matrix inside ``mapInPandas`` — no pair
+    materialization, no window sort. Same certification rule: a core with ≥ k
+    in-radius neighbors is exact (its cell ring provably contains every point
+    within r); stragglers retry at doubled radius, tiny remainders fall back
+    to the broadcast window plan.
+
+    This is the reference's per-hub local kernel idea (DistCoverTree.cpp
+    build_local_trees + local queries) applied to the grid: route by spatial
+    key, finish with a dense local solver.
+    """
+    import pandas as pd
+
+    from parallelcovertree_spark.functions.cells import cell_ix
+
+    base = points.select(
+        F.col(id_col).cast("long").alias("pid"),
+        F.col(x).cast("double").alias("px"),
+        F.col(y).cast("double").alias("py"),
+    ).persist()
+    n_total = base.count()
+    r = float(r0) if r0 is not None else estimate_radius(base, k + 1, "px", "py")
+    brute_pair_budget = 200_000_000
+
+    spark = base.sparkSession
+    parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 16)
+    out_schema = "src long, nbr_rank int, dst long"
+    results: list[DataFrame] = []
+    unresolved_ids: DataFrame | None = None  # None = all cores unresolved
+
+    for round_no in range(max_rounds):
+        s = cell_factor * r
+        ix, iy = cell_ix("px", s), cell_ix("py", s)
+        offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                         for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+        ex = base.select(
+            "pid", "px", "py", ix.alias("_ix"), iy.alias("_iy"),
+            F.explode(offs).alias("_o"),
+        ).select(
+            "pid", "px", "py",
+            ((F.col("_ix") + F.col("_o.dx")) * F.lit(1 << 21)
+             + (F.col("_iy") + F.col("_o.dy"))).alias("cell"),
+            ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("own"),
+        )
+        if unresolved_ids is None:
+            ex = ex.withColumn("core", F.col("own"))
+        else:
+            flag = unresolved_ids.withColumn("_u", F.lit(True))
+            ex = ex.join(flag, ex.pid == flag.src, "left").select(
+                "pid", "px", "py", "cell",
+                (F.col("own") & F.coalesce(F.col("_u"), F.lit(False))).alias("core"),
+            )
+        rr = r  # capture by value
+
+        def kernel(batches):
+            carry: pd.DataFrame | None = None
+
+            def solve(pdf: pd.DataFrame, last: bool):
+                nonlocal carry
+                if carry is not None:
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                    carry = None
+                cells = pdf["cell"].to_numpy(np.int64)
+                if not last:
+                    # a cell may straddle arrow batches; hold back its rows
+                    tail = cells == cells[-1]
+                    if tail.all():
+                        carry = pdf
+                        return None
+                    carry = pdf.iloc[np.nonzero(tail)[0]]
+                    pdf = pdf.iloc[np.nonzero(~tail)[0]]
+                    cells = cells[~tail]
+                ids = pdf["pid"].to_numpy(np.int64)
+                xy = np.stack([pdf["px"].to_numpy(np.float64),
+                               pdf["py"].to_numpy(np.float64)], axis=1)
+                core = pdf["core"].to_numpy(bool)
+                bounds = np.nonzero(np.diff(cells))[0] + 1
+                starts = np.concatenate([[0], bounds])
+                ends = np.concatenate([bounds, [len(cells)]])
+                out_src, out_dst, fail_src = [], [], []
+                r2 = rr * rr
+                for a, b in zip(starts, ends):
+                    cm = core[a:b]
+                    if not cm.any():
+                        continue
+                    if (b - a) <= k:
+                        fail_src.append(ids[a:b][cm])
+                        continue
+                    cxy = xy[a:b][cm]
+                    cid = ids[a:b][cm]
+                    axy = xy[a:b]
+                    aid = ids[a:b]
+                    d2 = ((cxy[:, None, :] - axy[None, :, :]) ** 2).sum(axis=2)
+                    d2[cid[:, None] == aid[None, :]] = np.inf  # self
+                    within = d2 <= r2
+                    ok = within.sum(axis=1) >= k
+                    if not ok.all():
+                        fail_src.append(cid[~ok])
+                    if not ok.any():
+                        continue
+                    # fully vectorized, tie-exact top-k with (d2 asc, dst asc):
+                    # every row shares the same candidate ids, so order the
+                    # COLUMNS by dst once, then a stable per-row argsort on d2
+                    # yields the exact (d2, dst) lexicographic order — no
+                    # per-row python, and boundary ties resolve to lowest dst
+                    # (argpartition alone mis-picks when the kth distance ties)
+                    dd = np.where(within[ok], d2[ok], np.inf)
+                    ordc = np.argsort(aid, kind="stable")
+                    dd = dd[:, ordc]
+                    sel = np.argsort(dd, axis=1, kind="stable")[:, :k]
+                    out_src.append(np.repeat(cid[ok], k))
+                    out_dst.append(aid[ordc][sel].ravel())
+                if out_src:
+                    src_arr = np.concatenate(out_src)
+                    dst_arr = np.concatenate(out_dst)
+                else:
+                    src_arr = np.empty(0, dtype=np.int64)
+                    dst_arr = np.empty(0, dtype=np.int64)
+                ranks = np.tile(np.arange(1, k + 1, dtype=np.int32),
+                                len(src_arr) // k)
+                # unresolved cores ride along as (src, -1, -1) marker rows —
+                # the caller extracts stragglers without a distinct/anti-join
+                # over the (n·k)-row result
+                if fail_src:
+                    fs = np.concatenate(fail_src)
+                    src_arr = np.concatenate([src_arr, fs])
+                    ranks = np.concatenate(
+                        [ranks, np.full(len(fs), -1, dtype=np.int32)]
+                    )
+                    dst_arr = np.concatenate(
+                        [dst_arr, np.full(len(fs), -1, dtype=np.int64)]
+                    )
+                return pd.DataFrame({
+                    "src": src_arr,
+                    "nbr_rank": ranks,
+                    "dst": dst_arr,
+                })
+
+            prev = None
+            for pdf in batches:
+                if prev is not None:
+                    out = solve(prev, last=False)
+                    if out is not None and len(out):
+                        yield out
+                prev = pdf
+            if prev is not None:
+                out = solve(prev, last=True)
+                if out is not None and len(out):
+                    yield out
+
+        solved = (
+            ex.repartition(parts, "cell")
+            .sortWithinPartitions("cell")
+            .mapInPandas(kernel, out_schema)
+            .localCheckpoint(eager=True)
+        )
+        results.append(solved.where(F.col("nbr_rank") >= 1))
+        prev_unresolved = unresolved_ids
+        unresolved_ids = solved.where(F.col("nbr_rank") == -1).select("src").persist()
+        remaining = unresolved_ids.count()
+        if prev_unresolved is not None:
+            prev_unresolved.unpersist()
+        if remaining == 0:
+            break
+        r *= 2.0
+        if remaining * n_total <= brute_pair_budget or round_no == max_rounds - 1:
+            strag = base.join(F.broadcast(unresolved_ids), base.pid == F.col("src")).select(
+                F.col("pid").alias("q"), F.col("px").alias("qx"), F.col("py").alias("qy")
+            )
+            cand = F.broadcast(strag).join(base, F.col("q") != F.col("pid"))
+            d2 = ((F.col("qx") - F.col("px")) ** 2 + (F.col("qy") - F.col("py")) ** 2)
+            w = Window.partitionBy("q").orderBy(d2.asc(), F.col("pid").asc())
+            results.append(
+                cand.withColumn("nbr_rank", F.row_number().over(w))
+                .where(F.col("nbr_rank") <= k)
+                .select(F.col("q").alias("src"), "nbr_rank", F.col("pid").alias("dst"))
+                .localCheckpoint(eager=True)
+            )
+            break
+
+    out = results[0]
+    for p in results[1:]:
+        out = out.unionByName(p)
+    base.unpersist()
+    if unresolved_ids is not None:
+        unresolved_ids.unpersist()
+    return out
 
 
 def knn_brute_force(

@@ -100,6 +100,16 @@ def knn_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(_doc_points(spark, sf_dir), k=KNN_K, id_col="id")
 
 
+@_register("knn_docs_kernel", None)
+def knn_docs_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN k=10 through the shuffle-lean per-cell kernel plan (the bench
+    path): ring-explode points once, dense numpy solve per cell. Same answer,
+    ~3x less shuffle than the window plan."""
+    from parallelcovertree_spark.operators.knn import knn_join_grid_kernel
+
+    return knn_join_grid_kernel(_doc_points(spark, sf_dir), k=KNN_K, id_col="id")
+
+
 _X = geo.X_SQL.format(id="doc_id")
 _Y = geo.Y_SQL.format(id="doc_id")
 
@@ -770,6 +780,9 @@ def ball_radii(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.lit(2.0), -F.col("n_nationkey").cast("double")).alias("ball"),
         )
     )
+
+
+_ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 
 
 def queries() -> dict[str, QueryFn]:

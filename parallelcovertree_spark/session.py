@@ -13,17 +13,34 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS = {
+    # Shuffle scratch on tmpfs: this sandbox's /tmp is VM disk and serializes
+    # 32 concurrent shuffle writers (measured 3x on the candidates join). On a
+    # real cluster this is the NVMe/SSD local-dir setting.
+    "spark.local.dir": "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # spatial kernels are compute-heavy per byte (distance math on 24-byte
+    # rows): the 64m default advisory size coalesces post-shuffle stages to a
+    # handful of tasks and caps parallelism; 16m keeps reducers ≈ cores busy
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # big Arrow batches: at 32 threads the per-batch pipe overhead dominates
+    # the default 10k batches (measured 2x on a no-op mapInPandas)
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "200000",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": "48g",
-    # Broadcast threshold: our dimension-side tables (chain tails, hub maps,
-    # polygon sets, top trees) are small by construction; let AQE promote them.
-    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # moderate heap on purpose: a 48g heap turned G1 mixed collections into
+    # multi-second random stalls (3x run-to-run variance); 16g + periodic GC
+    # keeps pauses short and run times stable
+    "spark.driver.memory": "16g",
+    "spark.cleaner.periodicGC.interval": "30s",
+    # Broadcast threshold stays at the 10m default: the spatial joins pick
+    # their strategy explicitly (shuffle_hash hints on the exploded candidate
+    # side — Catalyst's size estimate for a Generate is its child's, which
+    # under-counts 9x and once baited a 9M-row broadcast). Genuinely small
+    # dimensions (chain tails, hub maps, polygon sets) use F.broadcast().
 }
 
 

@@ -39,7 +39,7 @@ def main() -> None:
     small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     large = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    scale = os.environ.get("BENCH_SCALE", "40")
+    scale = os.environ.get("BENCH_SCALE", "200")
 
     r_small = run_bench(small, sf_dir, scale)
     r_large = run_bench(large, sf_dir, scale)

@@ -1,0 +1,85 @@
+"""Binary point-file IO in the reference's on-disk formats (SURVEY S1-S3, S10).
+
+Two framings:
+- **fvecs** (``Point::from_file``, /root/reference/src/Point.cpp:113-142 and the
+  generic ``VectorIO.cpp``): repeated ``[int32 dim][float32 × dim]`` records;
+  n inferred from file size.
+- **snn** (``snn_test.py:9-13``): ``[int64 n][float32 × 2] × n``.
+
+Parquet is the engine's canonical storage; these exist so datasets produced
+for/by the reference binaries can be read bit-exactly (float32 storage
+preserved). The Spark reader uses the ``binaryFile`` source + ``mapInPandas``
+decode — point ids are positional (the reference's implicit id), derived from
+the record offset so they are stable at any parallelism.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_fvecs(path: str, xy: np.ndarray) -> None:
+    xy = np.ascontiguousarray(xy, dtype=np.float32)
+    n, dim = xy.shape
+    # per-record framing: [int32 dim][float32 × dim] (dim bits live in the
+    # same 4-byte lattice as the floats — the fvecs convention)
+    body = np.empty((n, 4 * (1 + dim)), dtype=np.uint8)
+    body[:, :4] = np.full(n, dim, dtype=np.int32)[:, None].view(np.uint8)
+    body[:, 4:] = xy.view(np.uint8).reshape(n, -1)
+    with open(path, "wb") as f:
+        f.write(body.tobytes())
+
+
+def read_fvecs(path: str) -> np.ndarray:
+    raw = np.fromfile(path, dtype=np.uint8)
+    if len(raw) == 0:
+        return np.empty((0, 0), dtype=np.float32)
+    dim = int(np.frombuffer(raw[:4].tobytes(), dtype=np.int32)[0])
+    rec_bytes = 4 * (1 + dim)
+    assert len(raw) % rec_bytes == 0, "corrupt fvecs framing"
+    recs = raw.reshape(-1, rec_bytes)
+    return np.ascontiguousarray(recs[:, 4:]).view(np.float32).reshape(-1, dim)
+
+
+def write_snn(path: str, xy: np.ndarray) -> None:
+    xy = np.ascontiguousarray(xy, dtype=np.float32)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<q", len(xy)))
+        f.write(xy.tobytes())
+
+
+def read_snn(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<q", f.read(8))
+        return np.frombuffer(f.read(n * 8), dtype=np.float32).reshape(n, 2)
+
+
+def read_points_spark(spark: SparkSession, path: str, fmt: str = "fvecs") -> DataFrame:
+    """Distributed scan → (id, x, y): binaryFile source + Arrow-batched decode.
+    ids are record positions (the reference's implicit positional id)."""
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                raw = np.frombuffer(content, dtype=np.uint8)
+                if fmt == "fvecs":
+                    dim = int(np.frombuffer(raw[:4].tobytes(), dtype=np.int32)[0])
+                    recs = raw.reshape(-1, 4 * (1 + dim))
+                    xy = np.ascontiguousarray(recs[:, 4:]).view(np.float32).reshape(-1, dim)
+                else:  # snn
+                    xy = np.frombuffer(raw[8:].tobytes(), dtype=np.float32).reshape(-1, 2)
+                yield pd.DataFrame({
+                    "id": np.arange(len(xy), dtype=np.int64),
+                    "x": xy[:, 0],
+                    "y": xy[:, 1],
+                })
+
+    return files.select("content").mapInPandas(decode, "id long, x float, y float")

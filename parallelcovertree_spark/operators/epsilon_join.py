@@ -117,6 +117,30 @@ def epsilon_join(
     )
 
 
+def epsilon_self_join_auto(
+    points: DataFrame,
+    radius: float,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+    target_imbalance: float = 1.25,
+    max_salt: int = 16,
+) -> tuple[DataFrame, int]:
+    """ε-join with measured skew handling: compute the reference's load
+    imbalance metric over the cell histogram (nprocs·max/total ≤ 1.25 is the
+    reference's global-phase cutoff, DistCoverTree.cpp:746-758 /
+    dist_build_graph.cpp:29) and salt hot cells proportionally when it is
+    exceeded. Returns (edges, chosen_salt)."""
+    import math
+
+    parts = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    imb = load_imbalance(points, float(radius), parts, x=x, y=y)
+    salt = 0
+    if imb > target_imbalance:
+        salt = min(int(math.ceil(imb / target_imbalance)), max_salt)
+    return epsilon_self_join(points, radius, id_col=id_col, x=x, y=y, salt=salt), salt
+
+
 def cell_load_histogram(points: DataFrame, res: float, x: str = "x", y: str = "y") -> DataFrame:
     """Per-cell point counts + the reference's load-imbalance metric inputs
     (``nprocs * max / total``, /root/reference/src/DistCoverTree.cpp:746-748).

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from parallelcovertree_spark.plans.covertree import CoverTreeModel
@@ -161,3 +161,72 @@ def tree_epsilon_graph(model: CoverTreeModel, radius: float) -> DataFrame:
     """ε-graph through the tree (CoverTree.cpp:374-384): every point queries
     its own radius neighborhood; self-loops included by construction."""
     return tree_radius_join(model, model.points, radius)
+
+
+def tree_knn(
+    model: CoverTreeModel,
+    queries: DataFrame,
+    k: int = 10,
+    qid_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+    r0: float | None = None,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Exact kNN answered through the cover tree: adaptive-radius rounds of
+    the routed radius query. A query with ≥ k in-radius results (excluding
+    itself) is certified — the radius query is exact, so its top-k by
+    (d² asc, id asc) is the true top-k. Unresolved queries retry at doubled
+    radius (the reference's kNN ground truth is brute force,
+    programs/epsilon_graph.cpp:113-118; this is the tree-indexed equivalent).
+    Returns (src, nbr_rank, dst)."""
+    from parallelcovertree_spark.operators.knn import estimate_radius
+
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("id"),
+        F.col(x).cast("double").alias("x"),
+        F.col(y).cast("double").alias("y"),
+    ).persist()
+    r = float(r0) if r0 is not None else estimate_radius(q, k + 1)
+    pts = model.points.select(
+        F.col("id").alias("dst"),
+        F.col("x").cast("double").alias("tx"),
+        F.col("y").cast("double").alias("ty"),
+    )
+
+    unresolved = q
+    parts: list[DataFrame] = []
+    for round_no in range(max_rounds):
+        hits = tree_radius_join(model, unresolved, r)  # (src, dst)
+        cand = (
+            hits.join(unresolved.withColumnRenamed("id", "src"), "src")
+            .join(pts, "dst")
+            .where(F.col("src") != F.col("dst"))
+            .select(
+                "src", "dst",
+                ((F.col("x") - F.col("tx")) ** 2 + (F.col("y") - F.col("ty")) ** 2).alias("d2"),
+            )
+        )
+        wrank = Window.partitionBy("src").orderBy(F.col("d2").asc(), F.col("dst").asc())
+        wcnt = Window.partitionBy("src")
+        flagged = cand.withColumn("rk", F.row_number().over(wrank)).withColumn(
+            "cnt", F.count(F.lit(1)).over(wcnt)
+        )
+        resolved = flagged.where((F.col("cnt") >= k) & (F.col("rk") <= k)).localCheckpoint(
+            eager=True
+        )
+        parts.append(resolved.select("src", F.col("rk").alias("nbr_rank"), "dst"))
+        nxt = unresolved.join(
+            resolved.select("src").distinct().withColumnRenamed("src", "id"), "id", "left_anti"
+        ).persist()
+        remaining = nxt.count()
+        unresolved.unpersist()
+        unresolved = nxt
+        if remaining == 0:
+            break
+        r *= 2.0
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

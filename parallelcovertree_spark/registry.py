@@ -181,6 +181,18 @@ def covertree_epsilon_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tree_epsilon_graph(model, EPS_RADIUS)
 
 
+@_register("covertree_knn", None)
+def covertree_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN k=10 answered through the cover-tree index (adaptive-radius
+    routed queries). Oracle: the same brute-force window SQL as knn_docs."""
+    from parallelcovertree_spark.plans.covertree import build_cover_tree
+    from parallelcovertree_spark.plans.query import tree_knn
+
+    pts = _doc_points(spark, sf_dir)
+    model = build_cover_tree(pts, hub_cutoff=32)
+    return tree_knn(model, pts, k=KNN_K)
+
+
 # --- text analysis ------------------------------------------------------------
 
 @_register(
@@ -783,6 +795,7 @@ def ball_radii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
+_ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 
 
 def queries() -> dict[str, QueryFn]:

@@ -110,6 +110,22 @@ def main() -> None:
     # text-pipeline headline: minhash LSH dup pairs on the raw docs table
     timed("q_minhash_dedup", lambda rep: minhash_dup_pairs(spark, sf_dir).count())
 
+    # reference headline phases: cover-tree build + tree ε-query on the raw
+    # docs table (the iterative index path; timed once — it is deterministic
+    # and dominated by per-level jobs, not JIT)
+    from parallelcovertree_spark.plans.covertree import build_cover_tree
+    from parallelcovertree_spark.plans.query import tree_epsilon_graph
+    from parallelcovertree_spark.registry import _doc_points
+
+    doc_pts = _doc_points(spark, sf_dir)
+    t0 = time.time()
+    model = build_cover_tree(doc_pts, hub_cutoff=64)
+    timings["q_covertree_build"] = round(time.time() - t0, 3)
+    counts["q_covertree_build"] = int(model.vertices.count())
+    t0 = time.time()
+    counts["q_covertree_epsilon"] = int(tree_epsilon_graph(model, radius * 10).count())
+    timings["q_covertree_epsilon"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     spatial_sec = timings["q_epsilon_join"] + timings["q_knn10"]
     out = {

@@ -88,6 +88,54 @@ def _uniform01(z: np.ndarray) -> np.ndarray:
     return ((_splitmix64(z) >> _U64(11)).astype(np.float64) + 0.5) / (1 << 53)
 
 
+def url_hash64(urls) -> np.ndarray:
+    """FNV-1a 64-bit over utf-8 bytes, per url (deterministic, locale-free)."""
+    out = np.empty(len(urls), dtype=np.uint64)
+    h0 = _U64(0xCBF29CE484222325)
+    prime = _U64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for i, u in enumerate(urls):
+            h = h0
+            for b in u.encode("utf-8"):
+                h = (h ^ _U64(b)) * prime
+            out[i] = h
+    return out
+
+
+def geotag_docs_pdf(urls, var: float = 10.0, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """url → deterministic N(0, var) coords (FIXTURES.md F1: hash(url)-seeded,
+    float32 storage — the web-page geotagger of the north star)."""
+    h = url_hash64(urls)
+    with np.errstate(over="ignore"):
+        k = _U64(17 * seed)
+        u1 = _uniform01(h * _U64(2) + k)
+        u2 = _uniform01(h * _U64(2) + _U64(1) + k)
+    r = np.sqrt(-2.0 * np.log(u1)) * np.sqrt(var)
+    x = (r * np.cos(2.0 * np.pi * u2)).astype(np.float32)
+    y = (r * np.sin(2.0 * np.pi * u2)).astype(np.float32)
+    return x, y
+
+
+def geotag_docs(docs, url_col: str = "url", var: float = 10.0, seed: int = 42):
+    """input_hint flow: docs(url, warc_ts, html, text, lang) → + (x, y) via an
+    Arrow-batched vectorized geocoder (no per-row Python UDF)."""
+    from pyspark.sql.types import FloatType, StructField, StructType
+
+    def run(batches):
+        for pdf in batches:
+            x, y = geotag_docs_pdf(pdf[url_col], var=var, seed=seed)
+            pdf = pdf.copy()
+            pdf["x"] = x
+            pdf["y"] = y
+            yield pdf
+
+    schema = StructType(
+        list(docs.schema.fields)
+        + [StructField("x", FloatType()), StructField("y", FloatType())]
+    )
+    return docs.mapInPandas(run, schema)
+
+
 def gaussian_coords(ids: np.ndarray, var: float = 10.0, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic iid N(0, var) coords per id via Box–Muller over
     counter-based uniforms. Partition-independent: same id → same coords

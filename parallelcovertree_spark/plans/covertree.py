@@ -106,6 +106,8 @@ def build_cover_tree(
     metrics: list[dict] = []
 
     if resume and checkpoint_dir and os.path.exists(f"{checkpoint_dir}/driver.json"):
+        from parallelcovertree_spark.sources.snapshots import SnapshotTable
+
         with open(f"{checkpoint_dir}/driver.json") as f:
             drv = json.load(f)
         it = drv["iter"]
@@ -117,7 +119,8 @@ def build_cover_tree(
         chains = {int(k): v for k, v in drv["chains"].items()}
         coords = {int(k): tuple(v) for k, v in drv["coords"].items()}
         metrics = drv["metrics"]
-        state = spark.read.parquet(f"{checkpoint_dir}/state").localCheckpoint(eager=True)
+        table = SnapshotTable(f"{checkpoint_dir}/state_snapshots")
+        state = table.read(spark, snapshot_id=drv["snapshot_id"]).localCheckpoint(eager=True)
     else:
         # --- initialize root hub (CoverTree.cpp:56-91) ---------------------
         root = pts.orderBy("pid").limit(1).collect()[0]
@@ -329,12 +332,21 @@ def _metrics_df(spark: SparkSession, metrics: list[dict]) -> DataFrame:
 
 def _write_checkpoint(checkpoint_dir, state, it, base, max_radius, root_pid,
                       verts, vlevel, chains, coords, metrics) -> None:
+    """Per-level Iceberg-style checkpoint: the build state commits as an
+    immutable snapshot (atomic manifest rename, per-partition lineage — the
+    north rule's 'checkpointed per level, resumable'), and driver.json
+    atomically points at the snapshot id, so every checkpointed level remains
+    time-travelable after the build finishes."""
+    from parallelcovertree_spark.sources.snapshots import SnapshotTable
+
     os.makedirs(checkpoint_dir, exist_ok=True)
-    state.write.mode("overwrite").parquet(f"{checkpoint_dir}/state")
+    table = SnapshotTable(f"{checkpoint_dir}/state_snapshots")
+    snap_id = table.commit(state)
     tmp = f"{checkpoint_dir}/driver.json.tmp"
     with open(tmp, "w") as f:
         json.dump({
-            "iter": it, "base": base, "max_radius": max_radius,
+            "iter": it, "snapshot_id": snap_id, "base": base,
+            "max_radius": max_radius,
             "root_pid": root_pid, "verts": verts,
             "vlevel": {str(k): v for k, v in vlevel.items()},
             "chains": {str(k): v for k, v in chains.items()},

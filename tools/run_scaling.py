@@ -44,13 +44,19 @@ def main() -> None:
     r_small = run_bench(small, sf_dir, scale)
     r_large = run_bench(large, sf_dir, scale)
 
+    # north-rule evidence: the SAME job at two cluster sizes must produce the
+    # SAME answer — row counts per query are part of the record
+    assert r_small["rows"] == r_large["rows"], (
+        f"output rows differ across parallelism: {r_small['rows']} vs {r_large['rows']}"
+    )
+
     tp_s, tp_l = r_small["docs_per_sec"], r_large["docs_per_sec"]
     ratio = large / small
     eff = tp_l / (ratio * tp_s)
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH baseline — scaling efficiency (north rule)
+    with open("BENCH/scaling_last_run.md", "w") as f:
+        f.write(f"""# scaling run (raw) — fold into BENCH/BASELINE.md by hand
 
 Protocol (BASELINE.md): identical input ({sf_dir}, documents × {scale} replicas
 = {r_small['n_docs']} points, radius {r_small['radius']}), flagship spatial

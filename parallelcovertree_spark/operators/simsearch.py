@@ -96,6 +96,82 @@ def lsh_buckets(
     )
 
 
+def l2_q(a: Column, b: Column) -> Column:
+    """Exact integer squared-L2 between quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: (id, centroid_id) by nearest centroid
+    (quantized integer L2, ties → lowest centroid id).
+
+    The codebook is the first ``n_centroids`` vectors — a deterministic
+    stand-in where a k-means-trained codebook slots in unchanged; the
+    assignment join/shuffle shape is identical either way. Centroids
+    broadcast (provably small side)."""
+    q = emb.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("qv"))
+    cents = q.where(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cid"), F.col("qv").alias("qc")
+    )
+    d2 = l2_q(F.col("qv"), F.col("qc"))
+    w = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("vid").alias(id_col), F.col("cid").alias("centroid_id"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, k: int = 10, nprobe: int = 2, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN search: probe the ``nprobe`` nearest centroid buckets, exact
+    quantized cosine inside them → (src, nbr_rank, dst). The scale path: the
+    candidate join is a hash equi-join on centroid_id (one shuffle), never a
+    cross join; recall is governed by nprobe. Deterministic end to end."""
+    q = emb.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("qv")).withColumn(
+        "n2", dot(F.col("qv"), F.col("qv"))
+    ).persist()
+    cents = q.where(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cid"), F.col("qv").alias("qc")
+    )
+    wprobe = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", l2_q(F.col("qv"), F.col("qc")))
+        .withColumn("rn", F.row_number().over(wprobe))
+        .where(F.col("rn") <= nprobe)
+        .select(F.col("vid").alias("src"), F.col("qv").alias("qa"),
+                F.col("n2").alias("na"), F.col("cid").alias("centroid_id"))
+    )
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col).select(
+        F.col(id_col).alias("dst"), "centroid_id"
+    ).join(q.select(F.col("vid").alias("dst"), F.col("qv").alias("qb"),
+                    F.col("n2").alias("nb")), "dst")
+    cos = dot(F.col("qa"), F.col("qb")) / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    wrank = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst").asc())
+    return (
+        probes.join(assign, "centroid_id")
+        .where(F.col("src") != F.col("dst"))
+        .withColumn("cos", cos)
+        .withColumn("nbr_rank", F.row_number().over(wrank))
+        .where(F.col("nbr_rank") <= k)
+        .select("src", "nbr_rank", "dst")
+    )
+
+
 def lsh_neardup(
     emb: DataFrame, tau: float, dim: int = 64, planes: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -588,6 +588,69 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_C = 16
+_IVF_NPROBE = 2
+
+_IVF_CTE = f"""cflat AS (SELECT vec_id AS cid, i, e AS ce FROM flat WHERE vec_id < {_IVF_C}),
+a2c AS (
+  SELECT f.vec_id, c.cid, SUM((f.e - c.ce) * (f.e - c.ce)) AS d2
+  FROM flat f JOIN cflat c USING (i) GROUP BY 1, 2
+),
+ranked AS (
+  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM a2c
+)"""
+
+
+@_register(
+    "ann_ivf_assign",
+    f"""{_Q_CTE},
+{_IVF_CTE}
+SELECT vec_id, cid AS centroid_id FROM ranked WHERE rn = 1
+""",
+)
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: nearest-centroid assignment (integer-exact L2)."""
+    from parallelcovertree_spark.operators.simsearch import ivf_assign
+
+    return ivf_assign(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), _IVF_C)
+
+
+@_register(
+    "ann_ivf_topk",
+    f"""{_Q_CTE},
+{_IVF_CTE},
+assign AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS src, cid FROM ranked WHERE rn <= {_IVF_NPROBE}),
+cand AS (
+  SELECT p.src, a.vec_id AS dst
+  FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.src
+),
+d AS (
+  SELECT cand.src, cand.dst, SUM(fa.e * fb.e) AS dot
+  FROM cand JOIN flat fa ON fa.vec_id = cand.src
+            JOIN flat fb ON fb.vec_id = cand.dst AND fb.i = fa.i
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT src, dst, dot / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cos
+  FROM d JOIN n na ON na.vec_id = d.src JOIN n nb ON nb.vec_id = d.dst
+),
+r AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM c)
+SELECT src, rk AS nbr_rank, dst FROM r WHERE rk <= 10
+""",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: probe 2 nearest buckets, exact cosine inside — the
+    bucketed-scale path next to the brute baseline (ann_cosine_topk)."""
+    from parallelcovertree_spark.operators.simsearch import ivf_topk
+
+    return ivf_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        k=10, nprobe=_IVF_NPROBE, n_centroids=_IVF_C,
+    )
+
+
 # --- generic operator coverage on the star schema ------------------------------
 
 @_register(

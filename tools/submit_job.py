@@ -1,0 +1,63 @@
+"""spark-submit entry point (north rule: "runs via spark-submit --py-files").
+
+Usage:
+    python tools/make_pyfiles.py                       # build dist/covergrid.zip
+    spark-submit --master local[32] \
+        --py-files dist/covergrid.zip tools/submit_job.py \
+        epsilon /root/testdata/sf0.1 0.05 /tmp/edges_out
+
+Jobs: epsilon <sf_dir> <radius> <out_dir> | knn <sf_dir> <k> <out_dir> |
+covertree <sf_dir> <radius> <out_dir> [checkpoint_dir]
+
+The script imports the engine from the shipped zip (no repo checkout needed
+on executors) and writes results as parquet.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    job = sys.argv[1]
+    sf_dir = sys.argv[2]
+    spark = SparkSession.builder.appName(f"covergrid-{job}").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from parallelcovertree_spark.functions import geo
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pts = docs.select(
+        docs.doc_id.alias("id"), geo.x_col("doc_id").alias("x"), geo.y_col("doc_id").alias("y")
+    )
+
+    if job == "epsilon":
+        radius, out = float(sys.argv[3]), sys.argv[4]
+        from parallelcovertree_spark.operators.epsilon_join import epsilon_self_join
+
+        epsilon_self_join(pts, radius).write.mode("overwrite").parquet(out)
+    elif job == "knn":
+        k, out = int(sys.argv[3]), sys.argv[4]
+        from parallelcovertree_spark.operators.knn import knn_join_grid_kernel
+
+        knn_join_grid_kernel(pts, k=k).write.mode("overwrite").parquet(out)
+    elif job == "covertree":
+        radius, out = float(sys.argv[3]), sys.argv[4]
+        ckpt = sys.argv[5] if len(sys.argv) > 5 else None
+        from parallelcovertree_spark.plans.covertree import build_cover_tree
+        from parallelcovertree_spark.plans.query import tree_epsilon_graph
+
+        model = build_cover_tree(pts, hub_cutoff=64, checkpoint_dir=ckpt)
+        tree_epsilon_graph(model, radius).write.mode("overwrite").parquet(out)
+        model.metrics.write.mode("overwrite").parquet(f"{out}_metrics")
+    else:
+        raise SystemExit(f"unknown job {job!r}")
+    n = spark.read.parquet(sys.argv[4]).count()
+    print(f"covergrid job={job} wrote {n} rows to {sys.argv[4]}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -54,21 +54,37 @@ def simhash_dup_pairs(
     id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
     """All pairs with hamming(simhash) ≤ max_hamming (exact, via band
-    pigeonhole — requires max_hamming < SIMHASH_BANDS)."""
+    pigeonhole — requires max_hamming < SIMHASH_BANDS).
+
+    Physical plan: explode each fingerprint into (band_idx, band_key) rows,
+    self-join on the composite key — ONE shuffle for all bands (identical
+    join-side subplans → Catalyst ReuseExchange materializes the shuffle
+    once; no persist to leak), hamming verify inside the join."""
     assert max_hamming < SIMHASH_BANDS
-    sh = simhash(docs, id_col, text_col).persist()
+    sh = simhash(docs, id_col, text_col)
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     mask = (1 << band_width) - 1
-    pairs = None
-    for band in range(SIMHASH_BANDS):
-        bk = F.shiftright(F.col("simhash"), band * band_width).bitwiseAND(F.lit(mask))
-        a = sh.select(F.col(id_col).alias("src"), F.col("simhash").alias("ha"), bk.alias("bk"))
-        b = sh.select(F.col(id_col).alias("dst"), F.col("simhash").alias("hb"), bk.alias("bk"))
-        p = a.join(b, "bk").where(F.col("src") < F.col("dst")).select("src", "dst", "ha", "hb")
-        pairs = p if pairs is None else pairs.unionByName(p)
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.shiftright(F.col("simhash"), band * band_width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bk"),
+                )
+                for band in range(SIMHASH_BANDS)
+            ])
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.band", "b.bk")
+    a = bands.select(F.col(id_col).alias("src"), F.col("simhash").alias("ha"), "band", "bk")
+    b = bands.select(F.col(id_col).alias("dst"), F.col("simhash").alias("hb"), "band", "bk")
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        pairs.where(ham <= max_hamming)
+        a.join(b, ["band", "bk"])
+        .where((F.col("src") < F.col("dst")) & (ham <= max_hamming))
         .select("src", "dst")
         .distinct()
     )

@@ -139,9 +139,12 @@ def ivf_topk(
     quantized cosine inside them → (src, nbr_rank, dst). The scale path: the
     candidate join is a hash equi-join on centroid_id (one shuffle), never a
     cross join; recall is governed by nprobe. Deterministic end to end."""
+    # no persist: q is a cheap projection of the scan (quantize + dot) — a
+    # recompute per consumer beats a never-released cache entry (the bench
+    # re-invokes this op; leaked caches accumulate partitions)
     q = emb.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("qv")).withColumn(
         "n2", dot(F.col("qv"), F.col("qv"))
-    ).persist()
+    )
     cents = q.where(F.col("vid") < n_centroids).select(
         F.col("vid").alias("cid"), F.col("qv").alias("qc")
     )

@@ -307,21 +307,36 @@ FROM bands a JOIN bands b
 )
 def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH stage 2: band → bucket equi-join → candidate pairs.
-    Engine plan: one shuffle per band on the band key (NOT the OR-join the
-    oracle uses), union + distinct."""
+
+    Engine plan: explode each signature into (band_idx, band_key) rows and
+    self-join on the composite key — ONE hash-partitioned shuffle for all
+    bands (the two join sides are identical subplans, so Catalyst's
+    ReuseExchange materializes the shuffle once), no persist to leak. The
+    oracle expresses the same pair set as an OR-join."""
     sigs = minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
-        (F.col("mh0").cast("long") * _MH_P + F.col("mh1")).alias("b0"),
-        (F.col("mh2").cast("long") * _MH_P + F.col("mh3")).alias("b1"),
-    ).persist()
-    pairs = None
-    for band in ("b0", "b1"):
-        l = bands.select(F.col("doc_id").alias("src"), F.col(band).alias("bk"))
-        r = bands.select(F.col("doc_id").alias("dst"), F.col(band).alias("bk"))
-        p = l.join(r, "bk").where(F.col("src") < F.col("dst")).select("src", "dst")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    (F.col("mh0").cast("long") * _MH_P + F.col("mh1")).alias("bk"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    (F.col("mh2").cast("long") * _MH_P + F.col("mh3")).alias("bk"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bk")
+    l = bands.select(F.col("doc_id").alias("src"), "band", "bk")
+    r = bands.select(F.col("doc_id").alias("dst"), "band", "bk")
+    return (
+        l.join(r, ["band", "bk"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
 
 
 # --- point-in-polygon + raster↔vector tiles ------------------------------------
@@ -729,17 +744,25 @@ def distinct_status_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cell_members",
     f"""{_PTS_CTE}
 SELECT {cell_id_sql('x', 'y', TILE_RES)} AS cell_id,
-       LIST_SORT(LIST(id)) AS members
+       ARRAY_TO_STRING(LIST_SORT(LIST(id)), ',') AS members
 FROM pts GROUP BY 1
 """,
 )
 def cell_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY A6: grouped collect (hub → member point ids analog,
-    CoverTree.cpp:386-404)."""
+    CoverTree.cpp:386-404). The member list is emitted as a canonical
+    comma-joined string (numeric sort first): the driver's canonicalizer
+    hashes rows with pandas, which cannot factorize a list column."""
+    members = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list("id")), lambda v: v.cast("string")
+        ),
+        ",",
+    )
     return (
         _doc_points(spark, sf_dir)
         .groupBy(cell_id("x", "y", TILE_RES).alias("cell_id"))
-        .agg(F.sort_array(F.collect_list("id")).alias("members"))
+        .agg(members.alias("members"))
     )
 
 
@@ -775,25 +798,43 @@ def users_without_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# tz-independent epoch micros from the parquet TIMESTAMP_NTZ column: pure NTZ
+# arithmetic, never interpreted in the session time zone (a `cast("timestamp")`
+# would be). Matches DuckDB's EPOCH_US on a naive timestamp bit-for-bit.
+NTZ_EPOCH_US = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+    "CAST({ts} AS TIMESTAMP_NTZ))"
+)
+
+
 @_register(
     "events_window_counts",
-    """SELECT CAST(FLOOR(EPOCH(ts) / 300) AS BIGINT) * 300 AS bucket, event_type,
+    # CAST(SUM(...) AS BIGINT): DuckDB SUM(BIGINT) yields HUGEINT, which lands
+    # in pandas as float64 — hash-different from Spark's int64 even when every
+    # value is equal. The cast pins both engines to int64.
+    """SELECT (EPOCH_US(ts) // 300000000) * 300 AS bucket, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2""",
 )
 def events_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch twin of the streaming job —
-    streaming/jobs.py proves stream==batch with availableNow)."""
+    streaming/jobs.py proves stream==batch with availableNow). Bucket is
+    derived by integer epoch arithmetic on the NTZ column — same expression
+    tree as the oracle, independent of session/JVM time zone."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.expr(NTZ_EPOCH_US.format(ts="ts"))
     return (
-        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        ev.groupBy(
+            (us.cast("long") - F.pmod(us.cast("long"), F.lit(300_000_000))).alias("_b"),
+            "event_type",
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
         )
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("bucket"),
+            (F.col("_b") / F.lit(1_000_000)).cast("long").alias("bucket"),
             "event_type", "n_events", "sum_cents",
         )
     )
@@ -813,17 +854,19 @@ s AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM t
 )
-SELECT user_id, session_id, COUNT(*) AS n_events
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events
 FROM s GROUP BY user_id, session_id""",
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization: 10-minute-gap sessions via lag + running sum windows."""
+    """Sessionization: 10-minute-gap sessions via lag + running sum windows.
+    The oracle casts the windowed SUM back to BIGINT (DuckDB windowed SUM is
+    HUGEINT → pandas float64, which hash-mismatches Spark's int64); epoch
+    micros come from tz-free NTZ arithmetic on both sides."""
     from pyspark.sql import Window as W
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id", "event_id",
-        # ts is TIMESTAMP_NTZ; session tz is UTC so the cast is epoch-exact
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.expr(NTZ_EPOCH_US.format(ts="ts")).cast("long").alias("us"),
     )
     w = W.partitionBy("user_id").orderBy("us", "event_id")
     new_sess = F.when(

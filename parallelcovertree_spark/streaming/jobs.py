@@ -18,9 +18,16 @@ WATERMARK = "10 minutes"
 def windowed_event_counts(events: DataFrame, streaming: bool = False) -> DataFrame:
     """Per (5-min window, event_type): count + value sum. Emits the window
     start as epoch seconds (BIGINT) so batch/stream/oracle compare exactly."""
-    # parquet ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP (session tz is
-    # UTC so the cast is epoch-exact)
-    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    # parquet ts is TIMESTAMP_NTZ; watermarks need TIMESTAMP. A plain
+    # cast("timestamp") interprets the naive value in the session time zone —
+    # instead rebuild the instant from tz-free NTZ epoch arithmetic
+    # (timestamp_micros sets the internal epoch directly), so window bounds
+    # and the emitted bucket are identical under any session/JVM tz.
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+        "CAST(ts AS TIMESTAMP_NTZ))"
+    )
+    events = events.withColumn("ts", F.timestamp_micros(us))
     src = events.withWatermark("ts", WATERMARK) if streaming else events
     return (
         src.groupBy(F.window("ts", WINDOW).alias("w"), "event_type")

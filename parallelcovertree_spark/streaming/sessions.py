@@ -68,10 +68,26 @@ def _sessionize_group(
 
 
 def sessionize_stream(events: DataFrame) -> DataFrame:
-    """events stream → per-user session updates (custom stateful operator)."""
+    """events stream → per-user session updates (custom stateful operator).
+
+    Ingest-order requirement: state assumes per-user event-time order ACROSS
+    micro-batches (within a batch we sort). A late event (us < state.last_us)
+    would move last_us backwards and split/merge sessions differently from
+    the batch twin — stream==batch equivalence holds for in-order sources
+    (the availableNow file-per-batch test setup, or any source partitioned so
+    a user's events arrive time-ordered). Guarding with last_us = max(...)
+    was considered and rejected: it silently mis-counts the late event into
+    the wrong session; diverging loudly is easier to detect upstream.
+    """
+    # tz-free epoch micros from the NTZ column (a cast("timestamp") would be
+    # session-tz-dependent; gaps are shift-invariant but parity with the
+    # batch twin's us values keeps the state inspectable)
     prepared = events.select(
         "user_id", "event_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+            "CAST(ts AS TIMESTAMP_NTZ))"
+        ).cast("long").alias("us"),
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,

@@ -2,6 +2,17 @@
 Spark and its oracle_sql() on DuckDB over the same sf dir; compare row count,
 column names, and order-insensitive values.
 
+Faithful to the driver's canonicalizer (learned in round 1 the hard way):
+results are compared as PANDAS frames (Spark .toPandas() vs DuckDB .df()),
+and dtype *kind* matters — DuckDB SUM(BIGINT) returns HUGEINT which lands in
+pandas as float64, and a dtype-sensitive row hash then mismatches Spark's
+int64 even when every value compares equal under ==. Likewise list-typed
+columns make pandas' factorize throw. So this twin:
+
+- fails a query when an integer column on one side is float on the other,
+- fails a query whose output contains list/array values,
+- otherwise compares values order-insensitively (floats rounded to 9 dp).
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
@@ -11,6 +22,8 @@ import sys
 import time
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -19,19 +32,48 @@ from parallelcovertree_spark.session import get_spark  # noqa: E402
 from parallelcovertree_spark.sources.tables import TABLES  # noqa: E402
 
 
-def normalize(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                v = round(v, 9)
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=repr)
-    return out
+def canon(df: pd.DataFrame) -> tuple[pd.DataFrame, str | None]:
+    """Sorted-columns, sorted-rows canonical frame + dtype signature.
+    Returns (frame, err) — err set when the frame is unhashable (lists)."""
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype == object and df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
+            return df, f"column {c!r} holds list values (driver canonicalizer throws)"
+    try:
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    except TypeError as e:  # pragma: no cover - same failure the driver hits
+        return df, f"sort_values failed: {e}"
+    return df, None
+
+
+def kind(dtype) -> str:
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    return "obj"
+
+
+def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
+    if len(a) != len(b):
+        return False, f"row count {len(a)} != {len(b)}"
+    for c in a.columns:
+        ka, kb = kind(a[c].dtype), kind(b[c].dtype)
+        if ka != kb:
+            return False, f"dtype kind mismatch on {c!r}: {a[c].dtype} vs {b[c].dtype}"
+        if ka == "int":
+            if not np.array_equal(a[c].to_numpy(np.int64), b[c].to_numpy(np.int64)):
+                return False, f"values differ in int column {c!r}"
+        elif ka == "float":
+            va, vb = a[c].to_numpy(np.float64), b[c].to_numpy(np.float64)
+            if not np.allclose(va, vb, rtol=0, atol=5e-10, equal_nan=True):
+                return False, f"values differ in float column {c!r}"
+        else:
+            if not a[c].astype(str).equals(b[c].astype(str)):
+                return False, f"values differ in column {c!r}"
+    return True, ""
 
 
 def main() -> int:
@@ -49,35 +91,36 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        sdf = fn(spark, sf_dir).toPandas()
         t1 = time.time()
         if name not in oracles:
-            print(f"{name:32s} rows={len(srows):8d} (rows-only, no oracle) {t1-t0:6.1f}s")
+            _, err = canon(sdf)
+            status = "OK" if err is None else f"FAIL ({err})"
+            print(f"{name:32s} rows={len(sdf):8d} (rows-only, no oracle) [{status}] {t1-t0:6.1f}s")
+            if err is not None:
+                failed.append(name)
             continue
-        cur = con.execute(oracles[name])
-        dcols = [d[0] for d in cur.description]
-        drows = cur.fetchall()
-        ok_cols = sorted(scols) == sorted(dcols)
-        a, b = normalize(srows, scols), normalize(drows, dcols)
-        ok_vals = a == b
+        ddf = con.execute(oracles[name]).df()
+        sa, ea = canon(sdf)
+        sb, eb = canon(ddf)
+        if ea or eb:
+            print(f"{name:32s} [FAIL] canon: {ea or eb}")
+            failed.append(name)
+            continue
+        ok_cols = list(sa.columns) == list(sb.columns)
+        ok_vals, why = frames_equal(sa, sb) if ok_cols else (False, "column mismatch")
         status = "OK" if (ok_cols and ok_vals) else "FAIL"
         print(
-            f"{name:32s} rows={len(srows):8d} oracle={len(drows):8d} "
-            f"cols={'OK' if ok_cols else f'{scols}!={dcols}'} vals={'OK' if ok_vals else 'MISMATCH'} "
-            f"[{status}] {t1-t0:6.1f}s"
+            f"{name:32s} rows={len(sa):8d} oracle={len(sb):8d} "
+            f"cols={'OK' if ok_cols else f'{list(sa.columns)}!={list(sb.columns)}'} "
+            f"vals={'OK' if ok_vals else why} [{status}] {t1-t0:6.1f}s"
         )
         if status == "FAIL":
             failed.append(name)
-            if not ok_vals and len(a) == len(b):
-                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                for x, y in diff:
-                    print(f"    spark={x}\n    duck ={y}")
-            elif len(a) != len(b):
-                sa, sb = set(map(repr, a)), set(map(repr, b))
-                print(f"    only-spark: {list(sa - sb)[:2]}")
-                print(f"    only-duck : {list(sb - sa)[:2]}")
+            if len(sa) == len(sb) and ok_cols:
+                neq = (sa.astype(str) != sb.astype(str)).any(axis=1)
+                for i in sa.index[neq][:3]:
+                    print(f"    spark={tuple(sa.loc[i])}\n    duck ={tuple(sb.loc[i])}")
     spark.stop()
     if failed:
         print("FAILED:", failed)

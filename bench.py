@@ -107,8 +107,14 @@ def main() -> None:
     # CacheManager has nothing to reuse
     timed("q_epsilon_join", lambda rep: epsilon_self_join(pts, radius).count())
     timed("q_knn10", lambda rep: knn_join_grid_kernel(pts, k=10).count())
-    # text-pipeline headline: minhash LSH dup pairs on the raw docs table
+    # text-pipeline headline: minhash LSH dup pairs on the raw docs table —
+    # the SQL-parity gate op AND the engine-grade 128-perm/16-band kernel
     timed("q_minhash_dedup", lambda rep: minhash_dup_pairs(spark, sf_dir).count())
+    from parallelcovertree_spark.operators.dedup import minhash_dup_pairs_np
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    timed("q_minhash_dedup_engine",
+          lambda rep: minhash_dup_pairs_np(docs_tbl, 128, 16).count())
 
     # reference headline phases: cover-tree build + tree ε-query on the raw
     # docs table (the iterative index path; timed once — it is deterministic

@@ -122,3 +122,105 @@ def jaccard_verify(
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("src", "dst", "jaccard")
     )
+
+
+# --- engine-grade MinHash (numpy kernel, parameterized) -------------------------
+# The SQL-parity MinHash above (registry.minhash_*) is deliberately tiny
+# (4 perms / 2 bands, weak ascii token hash) so DuckDB reproduces it
+# bit-for-bit. This is the path you would run at 100 TB: 64-bit SipHash token
+# hashing (pandas hash_array — C-vectorized, deterministic), n_perm
+# universal-hash permutations in uint64 wraparound arithmetic, r-row/b-band
+# LSH keys, one shuffle for all bands. No per-row Python: tokens flatten into
+# one array per Arrow batch, per-doc minima via np.minimum.reduceat.
+
+def _perm_coeffs(n_perm: int):
+    import numpy as np
+
+    rng = np.random.default_rng(17)  # fixed: signatures are part of the contract
+    a = rng.integers(1, 1 << 63, size=n_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=n_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures_np(
+    docs: DataFrame,
+    n_perm: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    perm_chunk: int = 16,
+) -> DataFrame:
+    """(doc_id, sig array<long>) — engine-grade MinHash signatures.
+
+    Per Arrow batch: split → flatten all tokens of the batch into ONE object
+    array → ``pd.util.hash_array`` (64-bit, deterministic) → for each chunk
+    of permutations compute ``a·h + b`` (uint64 wraparound — a valid
+    universal family for min-hashing) over the (tokens × chunk) matrix and
+    take per-document minima with ``np.minimum.reduceat``. Memory is bounded
+    by ``tokens_in_batch × perm_chunk × 8`` bytes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    a_all, b_all = _perm_coeffs(n_perm)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = pdf[text_col].str.split(" ")
+            lens = toks.str.len().to_numpy(np.int64)
+            flat = pd.util.hash_array(toks.explode().to_numpy()).astype(np.uint64)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            sig = np.empty((len(pdf), n_perm), dtype=np.uint64)
+            for c0 in range(0, n_perm, perm_chunk):
+                a = a_all[c0:c0 + perm_chunk]
+                b = b_all[c0:c0 + perm_chunk]
+                hm = flat[:, None] * a[None, :] + b[None, :]  # uint64 wraparound
+                sig[:, c0:c0 + len(a)] = np.minimum.reduceat(hm, starts, axis=0)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].to_numpy(np.int64),
+                "sig": list(sig.view(np.int64)),
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(kernel, "doc_id long, sig array<long>")
+
+
+def minhash_dup_pairs_np(
+    docs: DataFrame,
+    n_perm: int = 128,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs from engine-grade signatures: b bands × r rows
+    (r = n_perm // bands), band key = xxhash64 over the signature slice
+    (JVM-side), all bands in ONE schema-identical self-join on
+    (band, key) — AQE reuses the signature shuffle stage, shuffle_hash
+    avoids the exploded-side broadcast trap. Probability a pair with
+    Jaccard s becomes a candidate: 1 - (1 - s^r)^b."""
+    assert n_perm % bands == 0
+    r = n_perm // bands
+    sigs = minhash_signatures_np(docs, n_perm, id_col, text_col)
+    bt = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.xxhash64(F.slice("sig", band * r + 1, r)).alias("bk"),
+                )
+                for band in range(bands)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bk")
+    a, b = bt.alias("a").hint("shuffle_hash"), bt.alias("b").hint("shuffle_hash")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )

@@ -33,6 +33,7 @@ def epsilon_self_join(
     y: str = "y",
     include_self: bool = True,
     salt: int = 0,
+    hot_cells: DataFrame | None = None,
     emit_dist2: bool = False,
 ) -> DataFrame:
     """All ordered pairs (src, dst) with euclidean distance ≤ radius.
@@ -41,9 +42,16 @@ def epsilon_self_join(
     shuffle), hash equi-join on BIGINT cell id, exact d² ≤ r² filter inside
     the join. One shuffle total; whole-stage codegen end to end (no UDFs).
 
-    ``salt`` > 0 additionally splits every cell into ``salt`` sub-keys
-    (deterministic, id-derived) — use when a few cells dominate
-    (hot-cell histogram via ``cell_load_histogram``).
+    Skew handling — two modes:
+    - ``hot_cells`` (preferred): DataFrame ``(cell_id, salt_n)`` of the few
+      measured hot cells (``hot_cell_salts``). Only those cells split into
+      ``salt_n`` sub-keys; the cold 99% keep one key and exactly the 9×
+      ring expansion. Broadcast map-side decoration — no extra shuffle.
+      Reference analog: LPT placement of oversized hubs only
+      (src/DistCoverTree.cpp:726-758).
+    - ``salt`` > 0 (legacy/uniform): splits EVERY cell into ``salt``
+      sub-keys — blows the whole corpus up ``9·salt``×; kept for tests and
+      as the blunt fallback when no histogram is available.
     """
     res = float(radius)
     left = with_cell(
@@ -63,7 +71,35 @@ def epsilon_self_join(
         res, k=1, x="tx", y="ty", out="_cell",
     )
     keys = ["_cell"]
-    if salt > 0:
+    if hot_cells is not None:
+        hs = F.broadcast(
+            hot_cells.select(
+                F.col("cell_id").alias("_cell"), F.col("salt_n").cast("long").alias("_sn")
+            )
+        )
+        # cores: one sub-key each (id-derived); candidates: replicated across
+        # every sub-key of a hot cell, single key 0 elsewhere — each (core,
+        # candidate) pair meets exactly once
+        left = (
+            left.join(hs, "_cell", "left")
+            .withColumn("_salt", F.coalesce(F.pmod(F.col("src"), F.col("_sn")), F.lit(0)))
+            .drop("_sn")
+        )
+        right = (
+            right.join(hs, "_cell", "left")
+            .withColumn(
+                "_salt",
+                F.explode(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.coalesce(F.col("_sn"), F.lit(1).cast("long")) - 1,
+                    )
+                ),
+            )
+            .drop("_sn")
+        )
+        keys.append("_salt")
+    elif salt > 0:
         left = left.withColumn("_salt", F.pmod(F.col("src"), F.lit(salt)))
         right = right.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
         keys.append("_salt")
@@ -117,6 +153,36 @@ def epsilon_join(
     )
 
 
+def hot_cell_salts(
+    points: DataFrame,
+    res: float,
+    partitions: int,
+    target_imbalance: float = 1.25,
+    max_salt: int = 64,
+    x: str = "x",
+    y: str = "y",
+) -> tuple[DataFrame | None, int]:
+    """Measured hot-cell salt map for ``epsilon_self_join(hot_cells=…)``.
+
+    A cell is hot when its load exceeds ``cap = target_imbalance · total /
+    partitions`` (the reference's ``nprocs·max/total ≤ 1.25`` criterion,
+    src/DistCoverTree.cpp:746-748, inverted per cell); its salt factor is
+    ``ceil(n / cap)`` capped at ``max_salt``. Returns (hot_df | None, n_hot).
+    The hot set is tiny by construction (≤ partitions / target_imbalance
+    cells can exceed cap), so it broadcasts."""
+    hist = cell_load_histogram(points, res, x=x, y=y)
+    total = points.count()
+    if total == 0:
+        return None, 0
+    cap = max(target_imbalance * total / float(partitions), 1.0)
+    hot = hist.where(F.col("n") > F.lit(cap)).select(
+        "cell_id",
+        F.least(F.ceil(F.col("n") / F.lit(cap)), F.lit(max_salt)).alias("salt_n"),
+    )
+    n_hot = hot.count()
+    return (hot if n_hot else None), n_hot
+
+
 def epsilon_self_join_auto(
     points: DataFrame,
     radius: float,
@@ -124,21 +190,21 @@ def epsilon_self_join_auto(
     x: str = "x",
     y: str = "y",
     target_imbalance: float = 1.25,
-    max_salt: int = 16,
+    max_salt: int = 64,
 ) -> tuple[DataFrame, int]:
-    """ε-join with measured skew handling: compute the reference's load
-    imbalance metric over the cell histogram (nprocs·max/total ≤ 1.25 is the
-    reference's global-phase cutoff, DistCoverTree.cpp:746-758 /
-    dist_build_graph.cpp:29) and salt hot cells proportionally when it is
-    exceeded. Returns (edges, chosen_salt)."""
-    import math
-
+    """ε-join with measured skew handling: histogram the cells, salt ONLY the
+    hot ones (per-cell factor ∝ overload), leave the cold majority at the
+    plain 9× ring. Returns (edges, n_hot_cells) — 0 means no salting was
+    needed. Replaces round-1's uniform salting, which multiplied the entire
+    corpus by 9·salt to fix a few cells."""
     parts = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    imb = load_imbalance(points, float(radius), parts, x=x, y=y)
-    salt = 0
-    if imb > target_imbalance:
-        salt = min(int(math.ceil(imb / target_imbalance)), max_salt)
-    return epsilon_self_join(points, radius, id_col=id_col, x=x, y=y, salt=salt), salt
+    hot, n_hot = hot_cell_salts(
+        points, float(radius), parts, target_imbalance, max_salt, x=x, y=y
+    )
+    return (
+        epsilon_self_join(points, radius, id_col=id_col, x=x, y=y, hot_cells=hot),
+        n_hot,
+    )
 
 
 def cell_load_histogram(points: DataFrame, res: float, x: str = "x", y: str = "y") -> DataFrame:

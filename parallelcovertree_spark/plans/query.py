@@ -195,6 +195,7 @@ def tree_knn(
     )
 
     unresolved = q
+    remaining = -1  # unknown until first round
     parts: list[DataFrame] = []
     for round_no in range(max_rounds):
         hits = tree_radius_join(model, unresolved, r)  # (src, dst)
@@ -225,6 +226,29 @@ def tree_knn(
         if remaining == 0:
             break
         r *= 2.0
+
+    if remaining != 0:
+        # exact fallback for queries still uncertified after max_rounds
+        # (k ≥ available neighbors, or an r0 underestimate needing more than
+        # 2^max_rounds growth): brute-force window top-k over the broadcast
+        # straggler set — same straggler discipline as knn_join, so no query
+        # is ever silently dropped.
+        cand = (
+            F.broadcast(unresolved.withColumnRenamed("id", "src"))
+            .join(pts, F.col("src") != F.col("dst"))
+            .select(
+                "src", "dst",
+                ((F.col("x") - F.col("tx")) ** 2 + (F.col("y") - F.col("ty")) ** 2).alias("d2"),
+            )
+        )
+        w = Window.partitionBy("src").orderBy(F.col("d2").asc(), F.col("dst").asc())
+        parts.append(
+            cand.withColumn("nbr_rank", F.row_number().over(w))
+            .where(F.col("nbr_rank") <= k)
+            .select("src", "nbr_rank", "dst")
+            .localCheckpoint(eager=True)
+        )
+    unresolved.unpersist()
 
     out = parts[0]
     for p in parts[1:]:

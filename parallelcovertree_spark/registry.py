@@ -329,14 +329,34 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.band", "b.bk")
-    l = bands.select(F.col("doc_id").alias("src"), "band", "bk")
-    r = bands.select(F.col("doc_id").alias("dst"), "band", "bk")
+    # shuffle_hash: (a) the exploded side's size estimate is its child's —
+    # auto-strategy would broadcast a corpus-sized band table; (b) with BOTH
+    # sides shuffled on (band, bk) AND carrying identical schemas (reuse
+    # checks schema including names — aliasing src/dst pre-join defeats it),
+    # ReuseExchange materializes the signature shuffle once
+    a, b = bands.alias("a").hint("shuffle_hash"), bands.alias("b").hint("shuffle_hash")
     return (
-        l.join(r, ["band", "bk"])
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .distinct()
     )
+
+
+@_register("minhash_dup_pairs_engine", None)
+def minhash_dup_pairs_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-grade MinHash LSH (128 perms / 16 bands, 64-bit SipHash token
+    hashing, numpy kernel) — the configuration you would dedup a web corpus
+    with; the SQL-parity minhash_dup_pairs above stays as the oracle gate.
+    Rows-only driver check (the hash family is not expressible in SQL);
+    recall/precision are pinned by tests/test_minhash_engine.py."""
+    from parallelcovertree_spark.operators.dedup import minhash_dup_pairs_np
+
+    return minhash_dup_pairs_np(_docs(spark, sf_dir), n_perm=128, bands=16)
 
 
 # --- point-in-polygon + raster↔vector tiles ------------------------------------

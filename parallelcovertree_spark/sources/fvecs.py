@@ -62,24 +62,49 @@ def read_snn(path: str) -> np.ndarray:
 
 def read_points_spark(spark: SparkSession, path: str, fmt: str = "fvecs") -> DataFrame:
     """Distributed scan → (id, x, y): binaryFile source + Arrow-batched decode.
-    ids are record positions (the reference's implicit positional id)."""
 
+    ids are global record positions (the reference's implicit positional id):
+    per-file offsets come from a prefix sum of record counts in path order —
+    computed from file LENGTHS alone (one metadata row per file on the
+    driver, the MPI_Exscan analog, DistCoverTree.cpp:27-31) — so a directory
+    of several fvecs/snn files yields unique, stable ids at any parallelism.
+    """
     files = spark.read.format("binaryFile").load(path)
+    meta = sorted(files.select("path", "length").collect(), key=lambda r: r.path)
+    if not meta:
+        return spark.createDataFrame([], "id long, x float, y float")
+    if fmt == "fvecs":
+        # dim from the first record of the first file (constant per dataset —
+        # the per-record framing repeats it; decode re-checks every file)
+        head = bytes(files.orderBy("path").select("content").limit(1).collect()[0].content[:4])
+        dim = int(np.frombuffer(head, dtype=np.int32)[0])
+        rec_bytes = 4 * (1 + dim)
+        counts = [r.length // rec_bytes for r in meta]
+    else:  # snn
+        counts = [(r.length - 8) // 8 for r in meta]
+    offsets: dict[str, int] = {}
+    total = 0
+    for r, n in zip(meta, counts):
+        offsets[r.path] = total
+        total += n
+    bc = spark.sparkContext.broadcast(offsets)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        offs = bc.value
         for pdf in batches:
-            for content in pdf["content"]:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
                 raw = np.frombuffer(content, dtype=np.uint8)
                 if fmt == "fvecs":
-                    dim = int(np.frombuffer(raw[:4].tobytes(), dtype=np.int32)[0])
-                    recs = raw.reshape(-1, 4 * (1 + dim))
-                    xy = np.ascontiguousarray(recs[:, 4:]).view(np.float32).reshape(-1, dim)
+                    fdim = int(np.frombuffer(raw[:4].tobytes(), dtype=np.int32)[0])
+                    recs = raw.reshape(-1, 4 * (1 + fdim))
+                    xy = np.ascontiguousarray(recs[:, 4:]).view(np.float32).reshape(-1, fdim)
                 else:  # snn
                     xy = np.frombuffer(raw[8:].tobytes(), dtype=np.float32).reshape(-1, 2)
+                base = offs[fpath]
                 yield pd.DataFrame({
-                    "id": np.arange(len(xy), dtype=np.int64),
+                    "id": base + np.arange(len(xy), dtype=np.int64),
                     "x": xy[:, 0],
                     "y": xy[:, 1],
                 })
 
-    return files.select("content").mapInPandas(decode, "id long, x float, y float")
+    return files.select("path", "content").mapInPandas(decode, "id long, x float, y float")

@@ -1,0 +1,73 @@
+"""Engine-grade MinHash (128-perm / 16-band numpy kernel): recall vs exact
+Jaccard on a seeded near-dup corpus, determinism, and parallelism invariance.
+
+The SQL-parity MinHash in the registry is demo-grade (4 perms / 2 bands);
+this is the configuration you would actually dedup a web corpus with:
+P(candidate | jaccard s) = 1 - (1 - s^8)^16  →  ~0.9999 at s=0.9,
+~0.95 at s=0.8, ~0.06 at s=0.5.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from parallelcovertree_spark.operators.dedup import (
+    minhash_dup_pairs_np,
+    minhash_signatures_np,
+)
+
+
+def _corpus(spark, n_base=150, doc_len=80, vocab=5000, seed=11):
+    """n_base originals + one near-dup each (10% token swaps → jaccard ≈ .82)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    truth = []  # (src, dst, exact_jaccard)
+    for i in range(n_base):
+        base = [f"w{v}" for v in rng.integers(0, vocab, size=doc_len)]
+        dup = list(base)
+        for j in rng.choice(doc_len, size=doc_len // 10, replace=False):
+            dup[j] = f"x{rng.integers(0, vocab)}"
+        a, b = set(base), set(dup)
+        truth.append((i, n_base + i, len(a & b) / len(a | b)))
+        rows.append((i, " ".join(base)))
+        rows.append((n_base + i, " ".join(dup)))
+    return spark.createDataFrame(rows, "doc_id long, text string"), truth
+
+
+def test_minhash_recall_and_precision(spark):
+    docs, truth = _corpus(spark)
+    cands = {(r.src, r.dst) for r in minhash_dup_pairs_np(docs, 128, 16).collect()}
+    high = [(s, d) for s, d, j in truth if j >= 0.75]
+    hit = sum((s, d) in cands for s, d in high)
+    assert hit / len(high) >= 0.95  # near-dup recall
+    # unrelated random docs (jaccard ~0) must not flood the candidate set
+    n_base = 150
+    random_pairs = {(i, k) for i in range(n_base) for k in range(i + 1, n_base)}
+    false_cands = cands & random_pairs
+    assert len(false_cands) <= len(random_pairs) * 0.01
+
+
+def test_minhash_signatures_deterministic_and_partition_invariant(spark):
+    docs, _ = _corpus(spark, n_base=40)
+    one = {r.doc_id: tuple(r.sig) for r in minhash_signatures_np(docs, 64).collect()}
+    two = {
+        r.doc_id: tuple(r.sig)
+        for r in minhash_signatures_np(docs.repartition(7), 64).collect()
+    }
+    assert one == two
+    assert all(len(s) == 64 for s in one.values())
+
+
+def test_minhash_recall_beats_sql_parity_config(spark):
+    """The 128/16 config must recall strictly more true near-dups than a
+    4-perm/2-band signature built from the same strong hashes (the r1 gap:
+    toy banding has poor recall at realistic thresholds)."""
+    docs, truth = _corpus(spark, n_base=120, doc_len=60, seed=23)
+    high = [(s, d) for s, d, j in truth if j >= 0.7]
+    big = {(r.src, r.dst) for r in minhash_dup_pairs_np(docs, 128, 16).collect()}
+    toy = {(r.src, r.dst) for r in minhash_dup_pairs_np(docs, 4, 2).collect()}
+    rec_big = sum(p in big for p in high) / len(high)
+    rec_toy = sum(p in toy for p in high) / len(high)
+    assert rec_big > rec_toy
+    assert rec_big >= 0.9

@@ -88,3 +88,20 @@ def test_gml_and_tsv_dumps(tmp_path, spark):
     verts = spark.read.options(sep="\t", header=True).csv(str(tmp_path / "info/vertices"))
     assert verts.count() == model.vertices.count()
     assert spark.read.options(sep="\t", header=True).csv(str(tmp_path / "info/metrics")).count() > 0
+
+
+def test_fvecs_multifile_unique_ids(tmp_path, spark):
+    """ADVICE r1: a directory of several fvecs files must yield globally
+    unique positional ids (per-file prefix-sum offsets in path order)."""
+    import numpy as np
+
+    d = tmp_path / "many"
+    d.mkdir()
+    rng = np.random.default_rng(3)
+    chunks = [rng.normal(size=(n, 2)).astype(np.float32) for n in (5, 7, 3)]
+    for i, c in enumerate(chunks):
+        write_fvecs(str(d / f"part-{i}.fvecs"), c)
+    got = read_points_spark(spark, str(d), fmt="fvecs").toPandas().sort_values("id")
+    want = np.concatenate(chunks)  # path order == chunk order
+    assert list(got["id"]) == list(range(15))
+    assert np.array_equal(got[["x", "y"]].to_numpy(np.float32), want)

@@ -85,3 +85,65 @@ def test_tree_knn_matches_oracle(spark):
     want = knn_np(gaussian_points_np(400), k=7)
     assert got == want
     pts.unpersist()
+
+
+def test_hot_cell_salting_is_selective(spark):
+    """VERDICT r1 item 3: salting must split ONLY measured hot cells — the
+    cold majority keeps exactly the 9x ring expansion (uniform salting blew
+    the whole corpus up 9*salt x)."""
+    import pyspark.sql.functions as F
+
+    from parallelcovertree_spark.functions.cells import explode_k_ring
+    from parallelcovertree_spark.operators.epsilon_join import (
+        epsilon_self_join,
+        hot_cell_salts,
+    )
+
+    # 64 cold points spread far apart (one per cell at res=1.0) + 300 points
+    # planted inside one cell
+    cold = pd.DataFrame({
+        "id": np.arange(64, dtype=np.int64),
+        "x": np.float32(10.0) * np.arange(64, dtype=np.float32),
+        "y": np.zeros(64, dtype=np.float32),
+    })
+    rng = np.random.default_rng(7)
+    hotp = pd.DataFrame({
+        "id": np.arange(64, 364, dtype=np.int64),
+        "x": np.float32(-500.0) + rng.random(300, dtype=np.float32) * np.float32(0.4),
+        "y": rng.random(300, dtype=np.float32) * np.float32(0.4),
+    })
+    pdf = pd.concat([cold, hotp], ignore_index=True)
+    df = spark.createDataFrame(pdf)
+
+    hot, n_hot = hot_cell_salts(df, 1.0, partitions=8, target_imbalance=1.25)
+    rows = hot.collect()
+    # exactly the planted cluster's cell is hot, with a proportional factor
+    assert n_hot == len(rows) == 1
+    assert rows[0].salt_n >= 2
+    hot_cell = rows[0].cell_id
+
+    # physical expansion audit: rebuild the salted candidate side the way
+    # epsilon_self_join does and count rows per target cell
+    right = explode_k_ring(
+        df.select(F.col("id").alias("dst"), F.col("x").cast("double").alias("tx"),
+                  F.col("y").cast("double").alias("ty")),
+        1.0, k=1, x="tx", y="ty", out="_cell",
+    )
+    hs = F.broadcast(hot.select(F.col("cell_id").alias("_cell"),
+                                F.col("salt_n").cast("long").alias("_sn")))
+    salted = right.join(hs, "_cell", "left").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0).cast("long"),
+                                      F.coalesce(F.col("_sn"), F.lit(1).cast("long")) - 1)))
+    base_n = right.count()
+    per_cell = {r._cell: r.n for r in salted.groupBy("_cell").agg(F.count("*").alias("n")).collect()}
+    plain_per_cell = {r._cell: r.n for r in right.groupBy("_cell").agg(F.count("*").alias("n")).collect()}
+    assert base_n == 9 * len(pdf)  # the ring itself is exactly 9x
+    for cell, n in per_cell.items():
+        if cell == hot_cell:
+            assert n == plain_per_cell[cell] * rows[0].salt_n  # hot cell split
+        else:
+            assert n == plain_per_cell[cell]  # cold cells untouched
+
+    # and the logical answer is unchanged
+    got = {(r.src, r.dst) for r in epsilon_self_join(df, 1.0, hot_cells=hot).collect()}
+    assert got == epsilon_graph_np(pdf, 1.0)

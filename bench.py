@@ -117,13 +117,18 @@ def main() -> None:
           lambda rep: minhash_dup_pairs_np(docs_tbl, 128, 16).count())
 
     # reference headline phases: cover-tree build + tree ε-query on the raw
-    # docs table (the iterative index path; timed once — it is deterministic
-    # and dominated by per-level jobs, not JIT)
+    # docs table (the iterative index path). The build is warmed once at 1/10
+    # size first: the first build in a JVM pays ~8s of codegen/JIT compile
+    # across its per-iteration plans (measured 2x), and throughput is a
+    # steady-state claim here exactly as for the other queries.
     from parallelcovertree_spark.plans.covertree import build_cover_tree
     from parallelcovertree_spark.plans.query import tree_epsilon_graph
     from parallelcovertree_spark.registry import _doc_points
 
     doc_pts = _doc_points(spark, sf_dir)
+    wsample = doc_pts.where(F.col("id") % 10 == 3)
+    wmodel = build_cover_tree(wsample, hub_cutoff=64)
+    tree_epsilon_graph(wmodel, radius * 10).count()
     t0 = time.time()
     model = build_cover_tree(doc_pts, hub_cutoff=64)
     timings["q_covertree_build"] = round(time.time() - t0, 3)

@@ -164,6 +164,7 @@ def knn_join_grid_kernel(
     key, finish with a dense local solver.
     """
     import pandas as pd
+    import pyarrow as pa
 
     from parallelcovertree_spark.functions.cells import cell_ix
 
@@ -178,7 +179,10 @@ def knn_join_grid_kernel(
 
     spark = base.sparkSession
     parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 16)
-    out_schema = "src long, nbr_rank int, dst long"
+    # packed return leg (mapInArrow): ONE row per core (src, topk list built
+    # as a zero-copy pa.ListArray) instead of k+1 pair rows — ~10x fewer rows
+    # and no per-row objects over the Arrow pipe; posexplode back JVM-side
+    out_schema = "src long, topk array<long>"
     results: list[DataFrame] = []
     unresolved_ids: DataFrame | None = None  # None = all cores unresolved
 
@@ -262,36 +266,31 @@ def knn_join_grid_kernel(
                     ordc = np.argsort(aid, kind="stable")
                     dd = dd[:, ordc]
                     sel = np.argsort(dd, axis=1, kind="stable")[:, :k]
-                    out_src.append(np.repeat(cid[ok], k))
+                    out_src.append(cid[ok])
                     out_dst.append(aid[ordc][sel].ravel())
-                if out_src:
-                    src_arr = np.concatenate(out_src)
-                    dst_arr = np.concatenate(out_dst)
-                else:
-                    src_arr = np.empty(0, dtype=np.int64)
-                    dst_arr = np.empty(0, dtype=np.int64)
-                ranks = np.tile(np.arange(1, k + 1, dtype=np.int32),
-                                len(src_arr) // k)
-                # unresolved cores ride along as (src, -1, -1) marker rows —
-                # the caller extracts stragglers without a distinct/anti-join
-                # over the (n·k)-row result
-                if fail_src:
-                    fs = np.concatenate(fail_src)
-                    src_arr = np.concatenate([src_arr, fs])
-                    ranks = np.concatenate(
-                        [ranks, np.full(len(fs), -1, dtype=np.int32)]
-                    )
-                    dst_arr = np.concatenate(
-                        [dst_arr, np.full(len(fs), -1, dtype=np.int64)]
-                    )
-                return pd.DataFrame({
-                    "src": src_arr,
-                    "nbr_rank": ranks,
-                    "dst": dst_arr,
-                })
+                src_ok = np.concatenate(out_src) if out_src else np.empty(0, np.int64)
+                dst_flat = np.concatenate(out_dst) if out_dst else np.empty(0, np.int64)
+                fs = np.concatenate(fail_src) if fail_src else np.empty(0, np.int64)
+                src_arr = np.concatenate([src_ok, fs])
+                if not len(src_arr):
+                    return None
+                # zero-copy packed lists: offsets step k for resolved rows,
+                # then repeat for unresolved ([] = straggler marker) — no
+                # per-row python objects anywhere on the return leg
+                lens = np.zeros(len(src_arr), dtype=np.int32)
+                lens[: len(src_ok)] = k
+                offsets = np.zeros(len(src_arr) + 1, dtype=np.int32)
+                np.cumsum(lens, out=offsets[1:])
+                topk = pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(dst_flat, pa.int64())
+                )
+                return pa.RecordBatch.from_arrays(
+                    [pa.array(src_arr, pa.int64()), topk], ["src", "topk"]
+                )
 
             prev = None
-            for pdf in batches:
+            for rb in batches:
+                pdf = rb.to_pandas()
                 if prev is not None:
                     out = solve(prev, last=False)
                     if out is not None and len(out):
@@ -305,12 +304,16 @@ def knn_join_grid_kernel(
         solved = (
             ex.repartition(parts, "cell")
             .sortWithinPartitions("cell")
-            .mapInPandas(kernel, out_schema)
+            .mapInArrow(kernel, out_schema)
             .localCheckpoint(eager=True)
         )
-        results.append(solved.where(F.col("nbr_rank") >= 1))
+        results.append(
+            solved.where(F.size("topk") > 0)
+            .select("src", F.posexplode("topk").alias("pos", "dst"))
+            .select("src", (F.col("pos") + 1).cast("int").alias("nbr_rank"), "dst")
+        )
         prev_unresolved = unresolved_ids
-        unresolved_ids = solved.where(F.col("nbr_rank") == -1).select("src").persist()
+        unresolved_ids = solved.where(F.size("topk") == 0).select("src").persist()
         remaining = unresolved_ids.count()
         if prev_unresolved is not None:
             prev_unresolved.unpersist()

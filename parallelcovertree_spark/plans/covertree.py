@@ -65,7 +65,10 @@ class CoverTreeModel:
 
 def _collect_farthest(state: DataFrame) -> list:
     """SURVEY A1: per-hub argmax (partial agg map-side, final agg reduce-side
-    — Catalyst's automatic partial aggregation is the MPI_Allreduce analog)."""
+    — Catalyst's automatic partial aggregation is the MPI_Allreduce analog).
+    Per-hub active counts ride along in the same job — they feed the
+    load-imbalance cutoff for free (the reference's get_hub_counts is a
+    separate Allreduce, DistCoverTree.cpp:45-83)."""
     best = F.max_by(
         F.struct(F.col("pid"), F.col("x"), F.col("y"), F.col("dist")),
         F.struct(F.col("dist"), (-F.col("pid")).alias("neg")),
@@ -73,7 +76,7 @@ def _collect_farthest(state: DataFrame) -> list:
     return (
         state.where(F.col("hub_vtx") >= 0)
         .groupBy("hub_vtx")
-        .agg(best)
+        .agg(best, F.count(F.lit(1)).alias("n_active"))
         .collect()
     )
 
@@ -82,6 +85,7 @@ def build_cover_tree(
     points: DataFrame,
     base: float = 2.0,
     hub_cutoff: int | None = 512,
+    imbalance_target: float | None = 1.25,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 8,
     resume: bool = False,
@@ -90,12 +94,19 @@ def build_cover_tree(
     """Build the distributed cover tree over ``points(id, x, y)``.
 
     ``hub_cutoff=None`` forces a fully-global build (reference sequential
-    semantics end-to-end); otherwise the build switches to the per-hub local
-    phase once that many hubs are active. ``max_iters`` stops the global
-    phase early (checkpoint testing); combined with ``resume=True`` the build
-    continues from the last checkpoint.
+    semantics end-to-end; the imbalance cutoff is disabled too). Otherwise
+    the global phase ends at the FIRST of: ``hub_cutoff`` active hubs, or
+    hub load imbalance ``partitions · max_hub_load / total ≤
+    imbalance_target`` — the reference's criterion
+    (``nprocs*max/total <= 1.25``, src/DistCoverTree.cpp:746-748 /
+    dist_build_graph.cpp:29), measured for free inside the per-iteration
+    argmax job. Balanced hubs mean the per-hub local builds pack evenly, so
+    waiting for more hubs only buys sequential global rounds. ``max_iters``
+    stops the global phase early (checkpoint testing); combined with
+    ``resume=True`` the build continues from the last checkpoint.
     """
     spark = points.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pts = points.select(
         F.col("id").alias("pid").cast("long"),
         F.col("x").cast("float"),
@@ -158,8 +169,14 @@ def build_cover_tree(
         if hub_cutoff is not None and len(chains) >= hub_cutoff:
             break
         t0 = time.time()
-        it += 1
         far = _collect_farthest(state)  # job: materializes current state
+
+        if hub_cutoff is not None and imbalance_target is not None and len(far) > 1:
+            mx = max(int(row.n_active) for row in far)
+            tot = sum(int(row.n_active) for row in far)
+            if n_parts * mx / tot <= imbalance_target:
+                break  # balanced enough: finish every hub in the local phase
+        it += 1
 
         # --- driver: update hub chains (CoverTree.cpp:133-179) -------------
         leaf_set: list[int] = []
@@ -201,35 +218,78 @@ def build_cover_tree(
                 F.when(is_leaf, F.lit(-1).cast("long")).otherwise(F.col("hub_pt")).alias("hub_pt"),
                 F.when(is_leaf, F.col("hub_vtx")).otherwise(F.col("leaf_parent")).alias("leaf_parent"),
             )
+        # per-iteration maps are tiny (≤ active hubs / chain members), so they
+        # inline as literal create_map expressions — pure codegen lookups, no
+        # broadcast-exchange build/ship latency (~0.2s each per iteration,
+        # measured: this was most of the per-iteration wall time). The
+        # broadcast-join form is kept for oversized bursts.
         if split_rows:
-            smap = spark.createDataFrame(split_rows, "m_pid long, new_vid long")
-            s = (
-                s.join(F.broadcast(smap),
-                       (F.col("hub_pt") == F.col("m_pid")) & (F.col("hub_vtx") >= 0),
-                       "left")
-                .select(
+            if len(split_rows) <= 4096:
+                smap = F.create_map(
+                    *[F.lit(v) for pid_vid in split_rows for v in pid_vid]
+                )
+                new_vid = F.when(F.col("hub_vtx") >= 0, smap[F.col("hub_pt")])
+                s = s.select(
                     "pid", "x", "y", "dist",
-                    F.coalesce("new_vid", "hub_vtx").alias("hub_vtx"),
+                    F.coalesce(new_vid, F.col("hub_vtx")).alias("hub_vtx"),
                     "hub_pt", "leaf_parent",
                 )
-            )
+            else:
+                sdf = spark.createDataFrame(split_rows, "m_pid long, new_vid long")
+                s = (
+                    s.join(F.broadcast(sdf),
+                           (F.col("hub_pt") == F.col("m_pid")) & (F.col("hub_vtx") >= 0),
+                           "left")
+                    .select(
+                        "pid", "x", "y", "dist",
+                        F.coalesce("new_vid", "hub_vtx").alias("hub_vtx"),
+                        "hub_pt", "leaf_parent",
+                    )
+                )
         if tails:
-            tdf = spark.createDataFrame(tails, "t_hub long, t_pid long, tx double, ty double")
-            cur = F.sqrt(
-                (F.col("x").cast("double") - F.col("tx")) ** 2
-                + (F.col("y").cast("double") - F.col("ty")) ** 2
-            )
-            upd = F.col("t_hub").isNotNull() & (cur <= F.col("dist"))
-            s = (
-                s.join(F.broadcast(tdf), F.col("hub_vtx") == F.col("t_hub"), "left")
-                .select(
+            if len(tails) <= 4096:
+                tmap = F.create_map(*[
+                    v
+                    for (hub, tpid, tx, ty) in tails
+                    for v in (
+                        F.lit(hub),
+                        F.struct(
+                            F.lit(tpid).alias("t_pid"),
+                            F.lit(tx).alias("tx"),
+                            F.lit(ty).alias("ty"),
+                        ),
+                    )
+                ])
+                t = tmap[F.col("hub_vtx")]
+                cur = F.sqrt(
+                    (F.col("x").cast("double") - t["tx"]) ** 2
+                    + (F.col("y").cast("double") - t["ty"]) ** 2
+                )
+                upd = t.isNotNull() & (cur <= F.col("dist"))
+                s = s.select(
                     "pid", "x", "y",
                     F.when(upd, cur).otherwise(F.col("dist")).alias("dist"),
                     "hub_vtx",
-                    F.when(upd, F.col("t_pid")).otherwise(F.col("hub_pt")).alias("hub_pt"),
+                    F.when(upd, t["t_pid"]).otherwise(F.col("hub_pt")).alias("hub_pt"),
                     "leaf_parent",
                 )
-            )
+            else:
+                tdf = spark.createDataFrame(tails, "t_hub long, t_pid long, tx double, ty double")
+                cur = F.sqrt(
+                    (F.col("x").cast("double") - F.col("tx")) ** 2
+                    + (F.col("y").cast("double") - F.col("ty")) ** 2
+                )
+                upd = F.col("t_hub").isNotNull() & (cur <= F.col("dist"))
+                s = (
+                    s.join(F.broadcast(tdf), F.col("hub_vtx") == F.col("t_hub"), "left")
+                    .select(
+                        "pid", "x", "y",
+                        F.when(upd, cur).otherwise(F.col("dist")).alias("dist"),
+                        "hub_vtx",
+                        F.when(upd, F.col("t_pid")).otherwise(F.col("hub_pt")).alias("hub_pt"),
+                        "leaf_parent",
+                    )
+                )
         # localCheckpoint: cut lineage every iteration (iterative plans grow
         # superlinearly otherwise); eager=False → materialized by next job
         state = s.localCheckpoint(eager=False)

@@ -106,26 +106,39 @@ TOKEN_HASH_SQL = (
 def fingerprint_np(texts: pd.Series, window: int = 8, prime: int = 1_000_000_007) -> pd.Series:
     """Rolling polynomial fingerprint (engine-grade, numpy): min rolling hash
     over byte windows — the real document-fingerprint kernel (the SQL-parity
-    queries use the weaker token hash above)."""
-    out = np.empty(len(texts), dtype=np.int64)
+    queries use the weaker token hash above).
+
+    Vectorized column-wise: all documents of the batch land in one padded
+    (n × max_len) byte matrix and the rolling recurrence advances one COLUMN
+    per step — O(max_len) numpy passes over all rows at once, no per-byte
+    Python. Intermediates stay < 2^63 (h < prime ≈ 1e9, ×257, ±255·prime).
+    Docs shorter than ``window`` hash to byte-sum mod prime (unchanged)."""
+    texts = pd.Series(texts).reset_index(drop=True)
+    n = len(texts)
+    if n == 0:
+        return pd.Series(np.empty(0, dtype=np.int64))
     base = 257
     pw = pow(base, window - 1, prime)
-    for i, t in enumerate(texts):
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
-        if len(b) < window:
-            out[i] = int(b.sum()) % prime
-            continue
-        h = 0
-        best = prime
-        for j in range(window):
-            h = (h * base + int(b[j])) % prime
-        best = h
-        for j in range(window, len(b)):
-            h = ((h - int(b[j - window]) * pw) * base + int(b[j])) % prime
-            if h < best:
-                best = h
-        out[i] = best
-    return pd.Series(out)
+    enc = texts.str.encode("utf-8")
+    lens = enc.str.len().to_numpy(np.int64)
+    joined = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8).astype(np.int64)
+    length = max(int(lens.max()), 1)
+    mat = np.zeros((n, length), dtype=np.int64)
+    mat[np.arange(length)[None, :] < lens[:, None]] = joined  # row-major fill
+
+    best = np.full(n, prime, dtype=np.int64)
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(length):
+        col = mat[:, j]
+        if j < window:
+            h = (h * base + col) % prime
+            if j == window - 1:
+                np.minimum(best, np.where(lens > j, h, prime), out=best)
+        else:
+            h = ((h - mat[:, j - window] * pw) * base + col) % prime
+            np.minimum(best, np.where(lens > j, h, prime), out=best)
+    out = np.where(lens < window, mat.sum(axis=1) % prime, best)
+    return pd.Series(out.astype(np.int64))
 
 
 def _fingerprint_batch(text: pd.Series) -> pd.Series:

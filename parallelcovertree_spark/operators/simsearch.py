@@ -105,21 +105,62 @@ def l2_q(a: Column, b: Column) -> Column:
     )
 
 
-def ivf_assign(
-    emb: DataFrame, n_centroids: int = 16,
+def kmeans_codebook(
+    emb: DataFrame, n_centroids: int = 16, iters: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF coarse quantizer: (id, centroid_id) by nearest centroid
-    (quantized integer L2, ties → lowest centroid id).
+    """Deterministic Lloyd-trained IVF codebook → (cid, qc array<long>).
 
-    The codebook is the first ``n_centroids`` vectors — a deterministic
-    stand-in where a k-means-trained codebook slots in unchanged; the
-    assignment join/shuffle shape is identical either way. Centroids
-    broadcast (provably small side)."""
+    Init = the first ``n_centroids`` vectors (fixed, reproducible). Each
+    iteration is pure DataFrame dataflow: broadcast-assign every vector to
+    its nearest centroid (integer L2, ties → lowest cid), then per-(cid, dim)
+    FLOOR(sum/count) means — integer-exact in ANY engine while |sum| < 2^53,
+    which is what lets the DuckDB oracle replay the training bit-for-bit.
+    Empty clusters keep their previous centroid. The shuffle per iteration is
+    n_centroids × dim rows — nothing at any corpus scale. The final codebook
+    collapses to ``n_centroids`` literal rows (collected) so consumers
+    broadcast data, not lineage."""
+    spark = emb.sparkSession
     q = emb.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("qv"))
     cents = q.where(F.col("vid") < n_centroids).select(
         F.col("vid").alias("cid"), F.col("qv").alias("qc")
     )
+    for _ in range(iters):
+        w = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("cid").asc())
+        asg = (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("d2", l2_q(F.col("qv"), F.col("qc")))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vid", "cid")
+        )
+        flat = asg.join(q, "vid").select("cid", F.posexplode("qv").alias("i", "e"))
+        means = flat.groupBy("cid", "i").agg(
+            F.floor(F.sum("e").cast("double") / F.count(F.lit(1))).cast("long").alias("m")
+        )
+        packed = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+            ).alias("qm")
+        )
+        cents = cents.join(packed, "cid", "left").select(
+            "cid", F.coalesce("qm", "qc").alias("qc")
+        )
+    rows = [(int(r.cid), [int(v) for v in r.qc]) for r in cents.collect()]
+    return spark.createDataFrame(rows, "cid long, qc array<long>")
+
+
+def ivf_assign(
+    emb: DataFrame, n_centroids: int = 16, iters: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: (id, centroid_id) by nearest centroid
+    (quantized integer L2, ties → lowest centroid id) against the
+    Lloyd-trained codebook (``iters=0`` = the r1 positional stand-in).
+    Centroids broadcast (provably small side); the assignment is one
+    map-side pass."""
+    q = emb.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("qv"))
+    cents = kmeans_codebook(emb, n_centroids, iters, id_col, vec_col)
     d2 = l2_q(F.col("qv"), F.col("qc"))
     w = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("cid").asc())
     return (
@@ -133,21 +174,22 @@ def ivf_assign(
 
 def ivf_topk(
     emb: DataFrame, k: int = 10, nprobe: int = 2, n_centroids: int = 16,
+    iters: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN search: probe the ``nprobe`` nearest centroid buckets, exact
-    quantized cosine inside them → (src, nbr_rank, dst). The scale path: the
-    candidate join is a hash equi-join on centroid_id (one shuffle), never a
-    cross join; recall is governed by nprobe. Deterministic end to end."""
+    """IVF ANN search: probe the ``nprobe`` nearest buckets of the
+    Lloyd-trained codebook, exact quantized cosine inside them →
+    (src, nbr_rank, dst). The scale path: the candidate join is a hash
+    equi-join on centroid_id (one shuffle), never a cross join; recall is
+    governed by nprobe (and codebook quality — see the recall test).
+    Deterministic end to end."""
     # no persist: q is a cheap projection of the scan (quantize + dot) — a
     # recompute per consumer beats a never-released cache entry (the bench
     # re-invokes this op; leaked caches accumulate partitions)
     q = emb.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("qv")).withColumn(
         "n2", dot(F.col("qv"), F.col("qv"))
     )
-    cents = q.where(F.col("vid") < n_centroids).select(
-        F.col("vid").alias("cid"), F.col("qv").alias("qc")
-    )
+    cents = kmeans_codebook(emb, n_centroids, iters, id_col, vec_col)
     wprobe = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("cid").asc())
     probes = (
         q.crossJoin(F.broadcast(cents))
@@ -157,10 +199,14 @@ def ivf_topk(
         .select(F.col("vid").alias("src"), F.col("qv").alias("qa"),
                 F.col("n2").alias("na"), F.col("cid").alias("centroid_id"))
     )
-    assign = ivf_assign(emb, n_centroids, id_col, vec_col).select(
-        F.col(id_col).alias("dst"), "centroid_id"
-    ).join(q.select(F.col("vid").alias("dst"), F.col("qv").alias("qb"),
-                    F.col("n2").alias("nb")), "dst")
+    assign = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", l2_q(F.col("qv"), F.col("qc")))
+        .withColumn("rn", F.row_number().over(wprobe))
+        .where(F.col("rn") == 1)
+        .select(F.col("vid").alias("dst"), F.col("cid").alias("centroid_id"),
+                F.col("qv").alias("qb"), F.col("n2").alias("nb"))
+    )
     cos = dot(F.col("qa"), F.col("qb")) / (
         F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
     )

@@ -61,6 +61,7 @@ class CoverTreeModel:
     local_roots: list[int]
     metrics: DataFrame             # per-iteration lineage/metrics
     num_global_iters: int
+    has_global_leaves: bool = True  # any leaf vertices from the global phase?
 
 
 def _collect_farthest(state: DataFrame) -> list:
@@ -163,7 +164,7 @@ def build_cover_tree(
         )
         top = _vertices_df(spark, verts).unionByName(leafs)
         return CoverTreeModel(base, 0.0, root_pid, top, None, points, [],
-                              _metrics_df(spark, metrics), 0)
+                              _metrics_df(spark, metrics), 0, True)
 
     while chains and (max_iters is None or it < max_iters):
         if hub_cutoff is not None and len(chains) >= hub_cutoff:
@@ -370,6 +371,7 @@ def build_cover_tree(
     return CoverTreeModel(
         base, max_radius, root_pid, vertices, local_trees, points,
         local_roots, _metrics_df(spark, metrics), it,
+        any(m["n_leaf_hubs"] > 0 for m in metrics),
     )
 
 

@@ -31,9 +31,18 @@ def _top_tree_arrays(model: CoverTreeModel) -> tuple[TreeArrays, np.ndarray, np.
     """Collect the top tree into dense driver-side arrays.
 
     Returns (tree, vid_by_index, stop_indices). Point coords are joined from
-    the points table (SURVEY F6 projection vertex→point)."""
+    the points table (SURVEY F6 projection vertex→point).
+
+    Global-phase LEAF vertices are excluded: the top tree proper is bounded
+    by the hub cutoff, but leaves are one-per-deactivated-point — a corpus
+    with massive coordinate-duplicate clusters (same-URL hashes) would drag
+    O(dups) rows onto the driver. Leaf hits are answered distributed instead
+    (grid ε-join in ``tree_radius_join``)."""
+    from parallelcovertree_spark.plans.covertree import LEAF_VID_BASE
+
     rows = (
-        model.vertices.join(
+        model.vertices.where(F.col("vertex_id") < LEAF_VID_BASE)
+        .join(
             model.points.select(F.col("id").alias("point_id"), "x", "y"), "point_id"
         )
         .select("vertex_id", "point_id", "parent_id", "level", "x", "y")
@@ -108,13 +117,35 @@ def tree_radius_join(
             if out:
                 yield pd.concat(out, ignore_index=True)
 
-    routed = q.mapInPandas(stage1, _STAGE1_SCHEMA).persist()
+    # localCheckpoint, not persist: routed feeds two consumers (direct hits +
+    # hub routing); an eager checkpoint computes stage 1 once and is released
+    # by the ContextCleaner when the result goes out of scope — a persist()
+    # here had no unpersist point (the result is lazy) and accumulated one
+    # cached RDD per traversal round under tree_knn
+    routed = q.mapInPandas(stage1, _STAGE1_SCHEMA).localCheckpoint(eager=True)
     hits_top = routed.where(F.col("kind") == 0).select("qid", F.col("key").alias("pid"))
 
+    if model.has_global_leaves:
+        # points deactivated during the global phase (exact-coordinate
+        # duplicate clusters) live in leaf vertices excluded from the
+        # broadcast top tree — answer them with the distributed grid ε-join
+        # (exact; results dedup with the traversal hits below)
+        from parallelcovertree_spark.operators.epsilon_join import epsilon_join
+        from parallelcovertree_spark.plans.covertree import LEAF_VID_BASE
+
+        leaf_pts = (
+            model.vertices.where(F.col("vertex_id") >= LEAF_VID_BASE)
+            .select(F.col("point_id").alias("id"))
+            .join(model.points, "id")
+        )
+        qn = q.select("qid", F.col("qx").alias("x"), F.col("qy").alias("y"))
+        hits_leaf = epsilon_join(qn, leaf_pts, r, left_id="qid").select(
+            F.col("src").alias("qid"), F.col("dst").alias("pid")
+        )
+        hits_top = hits_top.unionByName(hits_leaf)
+
     if model.local_trees is None:
-        out = hits_top.distinct().select(F.col("qid").alias("src"), F.col("pid").alias("dst"))
-        routed.unpersist()
-        return out
+        return hits_top.distinct().select(F.col("qid").alias("src"), F.col("pid").alias("dst"))
 
     to_route = routed.where(F.col("kind") == 1).select(
         F.col("key").alias("hub_id"), "qid", "qx", "qy"

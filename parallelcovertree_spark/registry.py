@@ -626,7 +626,28 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_C = 16
 _IVF_NPROBE = 2
 
-_IVF_CTE = f"""cflat AS (SELECT vec_id AS cid, i, e AS ce FROM flat WHERE vec_id < {_IVF_C}),
+# IVF codebook = init (first _IVF_C vectors) + ONE Lloyd iteration, replayed
+# exactly in SQL: FLOOR(sum/count) per (centroid, dim) is integer-exact in
+# both engines while |sum| < 2^53; empty clusters keep the previous centroid
+# (COALESCE). Mirrors operators/simsearch.kmeans_codebook(iters=1).
+_IVF_CTE = f"""cflat0 AS (SELECT vec_id AS cid, i, e AS ce FROM flat WHERE vec_id < {_IVF_C}),
+a2c0 AS (
+  SELECT f.vec_id, c.cid, SUM((f.e - c.ce) * (f.e - c.ce)) AS d2
+  FROM flat f JOIN cflat0 c USING (i) GROUP BY 1, 2
+),
+r0 AS (
+  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+  FROM a2c0
+),
+asg0 AS (SELECT vec_id, cid FROM r0 WHERE rn = 1),
+m1 AS (
+  SELECT a.cid, f.i, CAST(FLOOR(CAST(SUM(f.e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ce
+  FROM asg0 a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2
+),
+cflat AS (
+  SELECT c0.cid, c0.i, COALESCE(m1.ce, c0.ce) AS ce
+  FROM cflat0 c0 LEFT JOIN m1 ON m1.cid = c0.cid AND m1.i = c0.i
+),
 a2c AS (
   SELECT f.vec_id, c.cid, SUM((f.e - c.ce) * (f.e - c.ce)) AS d2
   FROM flat f JOIN cflat c USING (i) GROUP BY 1, 2
@@ -645,10 +666,11 @@ SELECT vec_id, cid AS centroid_id FROM ranked WHERE rn = 1
 """,
 )
 def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse quantizer: nearest-centroid assignment (integer-exact L2)."""
+    """IVF coarse quantizer: nearest-centroid assignment (integer-exact L2)
+    against the 1-round-Lloyd codebook (oracle replays the training)."""
     from parallelcovertree_spark.operators.simsearch import ivf_assign
 
-    return ivf_assign(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), _IVF_C)
+    return ivf_assign(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), _IVF_C, iters=1)
 
 
 @_register(
@@ -676,13 +698,14 @@ SELECT src, rk AS nbr_rank, dst FROM r WHERE rk <= 10
 """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: probe 2 nearest buckets, exact cosine inside — the
-    bucketed-scale path next to the brute baseline (ann_cosine_topk)."""
+    """IVF ANN: probe 2 nearest buckets of the 1-round-Lloyd codebook, exact
+    cosine inside — the bucketed-scale path next to the brute baseline
+    (ann_cosine_topk)."""
     from parallelcovertree_spark.operators.simsearch import ivf_topk
 
     return ivf_topk(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-        k=10, nprobe=_IVF_NPROBE, n_centroids=_IVF_C,
+        k=10, nprobe=_IVF_NPROBE, n_centroids=_IVF_C, iters=1,
     )
 
 

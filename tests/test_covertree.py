@@ -116,3 +116,33 @@ def test_checkpoint_resume(tmp_path, spark):
     want = epsilon_graph_np(gaussian_points_np(300), 1.0)
     assert got == want
     pts.unpersist()
+
+
+def test_duplicate_heavy_corpus_bounds_driver_collect(spark):
+    """VERDICT r1 item 9: global-phase leaf vertices (one per coordinate-
+    duplicate point) must NOT be collected to the driver — leaf hits are
+    answered by a distributed grid join. Query answers stay oracle-exact."""
+    import numpy as np
+    import pandas as pd
+
+    from parallelcovertree_spark.oracle import epsilon_graph_np
+    from parallelcovertree_spark.plans.covertree import LEAF_VID_BASE
+    from parallelcovertree_spark.plans.query import _top_tree_arrays, tree_epsilon_graph
+
+    rng = np.random.default_rng(9)
+    uniq = rng.normal(scale=3.0, size=(30, 2)).astype(np.float32)
+    # 30 distinct coords, each duplicated 10x -> 300 points, 270+ would-be leaves
+    xy = np.repeat(uniq, 10, axis=0)
+    pdf = pd.DataFrame({
+        "id": np.arange(len(xy), dtype=np.int64),
+        "x": xy[:, 0], "y": xy[:, 1],
+    })
+    pts = spark.createDataFrame(pdf)
+    model = build_cover_tree(pts, hub_cutoff=None)  # fully global: max leaves
+    assert model.has_global_leaves
+    n_leaves = model.vertices.where(f"vertex_id >= {LEAF_VID_BASE}").count()
+    assert n_leaves >= 200  # the trap is real in this fixture
+    tree, _, _ = _top_tree_arrays(model)
+    assert len(tree.pt) == model.vertices.count() - n_leaves  # leaves not collected
+    got = {(r.src, r.dst) for r in tree_epsilon_graph(model, 1.5).collect()}
+    assert got == epsilon_graph_np(pdf, 1.5)

@@ -51,10 +51,17 @@ def main() -> None:
     scale = int(os.environ.get("BENCH_SCALE", "200"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    # Shuffle partitions track DATA SIZE, not core count (overridable): a
+    # hash-join build side of 90M ring rows needs ~64 partitions to keep
+    # per-partition hash maps in memory — measured: 16 partitions at 8
+    # threads spilled/GC-thrashed the ε-join 2-4x. Holding the partitioning
+    # constant across parallelism levels is also what makes the N vs 4N
+    # scaling protocol compare CPUs, not plans.
+    shuffle_parts = int(os.environ.get("BENCH_SHUFFLE_PARTITIONS", max(cpus * 2, 16)))
     spark = get_spark(
         master=f"local[{cpus}]",
         app_name="covergrid-bench",
-        shuffle_partitions=max(cpus * 2, 16),
+        shuffle_partitions=shuffle_parts,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
@@ -62,6 +69,12 @@ def main() -> None:
     counts: dict[str, int] = {}
 
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    # BENCH_ONLY="q_epsilon_join,q_knn10" restricts to a query subset (the
+    # 10M-point scaling protocol times only the spatial headline)
+    only = {q for q in (os.environ.get("BENCH_ONLY") or "").split(",") if q}
+
+    def want(name: str) -> bool:
+        return not only or name in only
 
     def timed(name: str, fn):
         """min over `reps` genuine computes. Each rep must be a REAL
@@ -92,29 +105,36 @@ def main() -> None:
     wscale = max(scale // 10, 1)
     wpts, wn = build_points(spark, sf_dir, wscale)
     wpts = wpts.persist()
-    epsilon_self_join(wpts, density_radius(wn)).count()
-    knn_join_grid_kernel(wpts, k=10).count()
-    minhash_dup_pairs(spark, sf_dir).count()
+    if want("q_epsilon_join"):
+        epsilon_self_join(wpts, density_radius(wn)).count()
+    if want("q_knn10"):
+        knn_join_grid_kernel(wpts, k=10).count()
+    if want("q_minhash_dedup"):
+        minhash_dup_pairs(spark, sf_dir).count()
     wpts.unpersist()
 
     pts, n = build_points(spark, sf_dir, scale)
-    pts = pts.repartition(max(cpus * 2, 16)).persist()
+    pts = pts.repartition(shuffle_parts).persist()
     pts.count()  # materialize input outside the timed region
 
     radius = density_radius(n)
     # every rep is a genuine recompute: none of these queries leave persisted
     # plans behind (knn_join unpersists its internal caches), so Spark's
     # CacheManager has nothing to reuse
-    timed("q_epsilon_join", lambda rep: epsilon_self_join(pts, radius).count())
-    timed("q_knn10", lambda rep: knn_join_grid_kernel(pts, k=10).count())
+    if want("q_epsilon_join"):
+        timed("q_epsilon_join", lambda rep: epsilon_self_join(pts, radius).count())
+    if want("q_knn10"):
+        timed("q_knn10", lambda rep: knn_join_grid_kernel(pts, k=10).count())
     # text-pipeline headline: minhash LSH dup pairs on the raw docs table —
     # the SQL-parity gate op AND the engine-grade 128-perm/16-band kernel
-    timed("q_minhash_dedup", lambda rep: minhash_dup_pairs(spark, sf_dir).count())
-    from parallelcovertree_spark.operators.dedup import minhash_dup_pairs_np
+    if want("q_minhash_dedup"):
+        timed("q_minhash_dedup", lambda rep: minhash_dup_pairs(spark, sf_dir).count())
+    if want("q_minhash_dedup_engine"):
+        from parallelcovertree_spark.operators.dedup import minhash_dup_pairs_np
 
-    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    timed("q_minhash_dedup_engine",
-          lambda rep: minhash_dup_pairs_np(docs_tbl, 128, 16).count())
+        docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        timed("q_minhash_dedup_engine",
+              lambda rep: minhash_dup_pairs_np(docs_tbl, 128, 16).count())
 
     # reference headline phases: cover-tree build + tree ε-query on the SAME
     # expanded point set as the grid ε-join/kNN (r1 ran these on the raw
@@ -123,22 +143,23 @@ def main() -> None:
     # is warmed once at 1/10 size first: the first build in a JVM pays ~8s of
     # codegen/JIT compile across its per-iteration plans (measured 2x), and
     # throughput is a steady-state claim here exactly as for other queries.
-    from parallelcovertree_spark.plans.covertree import build_cover_tree
-    from parallelcovertree_spark.plans.query import tree_epsilon_graph
+    if want("q_covertree_build") or want("q_covertree_epsilon"):
+        from parallelcovertree_spark.plans.covertree import build_cover_tree
+        from parallelcovertree_spark.plans.query import tree_epsilon_graph
 
-    wsample = pts.where(F.col("id") % 10 == 3)
-    wmodel = build_cover_tree(wsample, hub_cutoff=64)
-    tree_epsilon_graph(wmodel, radius).count()
-    t0 = time.time()
-    model = build_cover_tree(pts, hub_cutoff=64)
-    timings["q_covertree_build"] = round(time.time() - t0, 3)
-    counts["q_covertree_build"] = int(model.vertices.count())
-    t0 = time.time()
-    counts["q_covertree_epsilon"] = int(tree_epsilon_graph(model, radius).count())
-    timings["q_covertree_epsilon"] = round(time.time() - t0, 3)
+        wsample = pts.where(F.col("id") % 10 == 3)
+        wmodel = build_cover_tree(wsample, hub_cutoff=64)
+        tree_epsilon_graph(wmodel, radius).count()
+        t0 = time.time()
+        model = build_cover_tree(pts, hub_cutoff=64)
+        timings["q_covertree_build"] = round(time.time() - t0, 3)
+        counts["q_covertree_build"] = int(model.vertices.count())
+        t0 = time.time()
+        counts["q_covertree_epsilon"] = int(tree_epsilon_graph(model, radius).count())
+        timings["q_covertree_epsilon"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    spatial_sec = timings["q_epsilon_join"] + timings["q_knn10"]
+    spatial_sec = timings.get("q_epsilon_join", 0.0) + timings.get("q_knn10", 0.0)
     out = {
         "metric": "spatial-join + kNN (k=10) throughput",
         "value": total,

@@ -1,6 +1,6 @@
 """Document deduplication operators (training-pipeline surface).
 
-Four families, all shuffle-conscious:
+Five families, all shuffle-conscious:
 
 - **exact**: hash-groupBy on content (registry.exact_dedup).
 - **MinHash + LSH**: signature → band buckets → per-band equi-join
@@ -12,6 +12,9 @@ Four families, all shuffle-conscious:
 - **n-gram Jaccard**: word-trigram shingle similarity, verified only on
   LSH candidate pairs (the realistic pipeline: candidates from cheap hashes,
   exact verify on the short list).
+- **cluster labeling**: candidate pairs → connected components (min-label
+  propagation) → keeper per cluster (``dedup_clusters``), oracle-checked
+  against a DuckDB recursive CTE.
 
 Token hash is the portable ascii/length hash (functions.text.TOKEN_HASH_SQL)
 so DuckDB oracles reproduce every value bit-for-bit.
@@ -223,4 +226,64 @@ def minhash_dup_pairs_np(
         )
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 25
+) -> DataFrame:
+    """(node, cluster_id) — min-label propagation over undirected pairs.
+
+    The dedup-cluster step: near-dup candidate pairs become components, the
+    minimum doc id is the canonical cluster id (= keeper). Each iteration is
+    ONE hash join + min-aggregate over the edge list (label propagation);
+    converges in O(component diameter) rounds — near-dup clusters are
+    cliques-ish, so 2-3 rounds in practice. Deterministic fixpoint (exact
+    min per component), verified against a DuckDB recursive CTE.
+
+    At 100 TB scale this is the standard alternating-min-label CC; a
+    large-star/small-star variant would cut rounds on pathological chains,
+    but candidate graphs from banded LSH have tiny diameters.
+    """
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = (
+        und.select(F.col("a").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr = und.join(labels, und.b == labels.node).select(
+            F.col("a").alias("node"), "label"
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")
+
+
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, cluster_id): every document labeled with its near-dup
+    cluster's minimum doc id (its own id when it has no duplicates) — the
+    keeper-selection step of the dedup pipeline."""
+    comp = connected_components(pairs)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
+        )
     )

@@ -347,6 +347,47 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_clusters",
+    f"""WITH RECURSIVE toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+),
+sigs AS (
+  SELECT doc_id, {_mh_expr(0)} AS mh0, {_mh_expr(1)} AS mh1,
+         {_mh_expr(2)} AS mh2, {_mh_expr(3)} AS mh3
+  FROM toks GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, CAST(mh0 AS BIGINT) * {_MH_P} + mh1 AS b0,
+         CAST(mh2 AS BIGINT) * {_MH_P} + mh3 AS b1 FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b
+    ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id
+),
+und AS (SELECT src AS a, dst AS b FROM pairs UNION SELECT dst, src FROM pairs),
+reach AS (
+  SELECT a AS node, a AS label FROM und
+  UNION
+  SELECT u.a AS node, r.label FROM und u JOIN reach r ON u.b = r.node
+),
+lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(lab.label, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
+""",
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster labeling: near-dup candidate pairs (MinHash LSH) →
+    connected components via min-label propagation → every doc labeled with
+    its cluster's minimum doc id (= the keeper). The oracle replays the
+    components with a recursive CTE — an exact fixpoint on both sides."""
+    from parallelcovertree_spark.operators.dedup import dedup_clusters
+
+    pairs = minhash_dup_pairs(spark, sf_dir)
+    return dedup_clusters(_docs(spark, sf_dir), pairs)
+
+
 @_register("minhash_dup_pairs_engine", None)
 def minhash_dup_pairs_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-grade MinHash LSH (128 perms / 16 bands, 64-bit SipHash token

@@ -108,3 +108,75 @@ def read_points_spark(spark: SparkSession, path: str, fmt: str = "fvecs") -> Dat
                 })
 
     return files.select("path", "content").mapInPandas(decode, "id long, x float, y float")
+
+
+def read_points_spark_split(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "fvecs",
+    target_chunk_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Splittable binary scan: one LARGE fvecs/snn file becomes many tasks.
+
+    ``binaryFile`` hands a whole file to one task (the reference streams
+    records instead — src/Point.cpp:113-142); here the driver plans
+    record-aligned (path, offset, n_records) chunks from file LENGTHS only,
+    distributes the plan with ``spark.range``-style parallelism, and each
+    task reads just its byte range. Local/NFS paths; object stores would
+    swap the ``open()`` for their range-read API. ids stay global record
+    positions, identical to ``read_points_spark`` at any chunking.
+    """
+    import glob as _glob
+    import os as _os
+
+    paths = sorted(_glob.glob(_os.path.join(path, "*")) if _os.path.isdir(path) else [path])
+    if not paths:
+        return spark.createDataFrame([], "id long, x float, y float")
+
+    chunks: list[tuple[str, int, int, int]] = []  # (path, byte_off, n_rec, id_off)
+    gid = 0
+    dim = 2
+    for p in paths:
+        size = _os.path.getsize(p)
+        if fmt == "fvecs":
+            with open(p, "rb") as f:
+                fdim = int(np.frombuffer(f.read(4), dtype=np.int32)[0])
+            if p is paths[0]:
+                dim = fdim
+            assert fdim == dim, f"mixed fvecs dims in {path}: {fdim} != {dim}"
+            rec = 4 * (1 + dim)
+            head, n = 0, size // rec
+        else:  # snn: 8-byte count header, 8-byte records
+            rec, head = 8, 8
+            n = (size - head) // rec
+        per = max(target_chunk_bytes // rec, 1)
+        for start in range(0, n, per):
+            cnt = min(per, n - start)
+            chunks.append((p, head + start * rec, cnt, gid + start))
+        gid += n
+
+    plan = spark.createDataFrame(
+        chunks, "path string, byte_off long, n_rec long, id_off long"
+    ).repartition(max(len(chunks), 1))
+    fdim = dim if fmt == "fvecs" else 2
+    rec_bytes = 4 * (1 + fdim) if fmt == "fvecs" else 8
+    is_fvecs = fmt == "fvecs"
+
+    def read_range(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p, off, n, idoff in zip(
+                pdf["path"], pdf["byte_off"], pdf["n_rec"], pdf["id_off"]
+            ):
+                with open(p, "rb") as f:
+                    f.seek(int(off))
+                    raw = np.frombuffer(f.read(int(n) * rec_bytes), dtype=np.uint8)
+                recs = raw.reshape(-1, rec_bytes)
+                body = recs[:, 4:] if is_fvecs else recs
+                xy = np.ascontiguousarray(body).view(np.float32).reshape(-1, fdim)
+                yield pd.DataFrame({
+                    "id": int(idoff) + np.arange(len(xy), dtype=np.int64),
+                    "x": xy[:, 0],
+                    "y": xy[:, 1],
+                })
+
+    return plan.mapInPandas(read_range, "id long, x float, y float")

@@ -71,3 +71,45 @@ def test_minhash_recall_beats_sql_parity_config(spark):
     rec_toy = sum(p in toy for p in high) / len(high)
     assert rec_big > rec_toy
     assert rec_big >= 0.9
+
+
+def test_connected_components_matches_union_find(spark):
+    """dedup clustering: min-label propagation == classic union-find."""
+    import numpy as np
+
+    from parallelcovertree_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(31)
+    n = 200
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(300, 2)) if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in connected_components(df).collect()}
+
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    want = {v: find(v) for v in touched}
+    # canonical label = min node of the component
+    comp_min = {}
+    for v, r in want.items():
+        comp_min.setdefault(find(r), min(v, r))
+        comp_min[find(r)] = min(comp_min[find(r)], v)
+    want = {v: comp_min[find(v)] for v in touched}
+    assert got == want
+
+
+def test_dedup_clusters_covers_all_docs(spark):
+    from parallelcovertree_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 4), (4, 7), (2, 3)], "src long, dst long")
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()}
+    assert got == {0: 0, 1: 1, 4: 1, 7: 1, 2: 2, 3: 2, 5: 5, 6: 6, 8: 8, 9: 9}

@@ -1,13 +1,14 @@
 """Scaling-efficiency measurement (BASELINE.md protocol).
 
-Runs bench.py at two parallelism levels (local[N] and local[4N]) on the
-identical input — the sandbox proxy for N vs 4N executors — and writes
-BENCH/BASELINE.md with throughput at both plus
-efficiency = throughput_4N / (4 × throughput_N)... reported as-is; the
-north-rule pass bar is ≥ 0.8 of ideal linear scaling between the two sizes
-(ideal = 4× the small-cluster throughput).
+Runs the spatial headline (grid ε-join + exact kNN k=10; BENCH_ONLY filter)
+at a CURVE of parallelism levels on the identical input — the sandbox proxy
+for cluster sizes — and writes BENCH/scaling_last_run.md with throughput at
+every point plus pairwise efficiencies. The north-rule pass bar is ≥ 0.8 of
+ideal linear scaling from N to 4N; this VM's measured pure-JVM ceiling is
+0.68 (see BENCH/BASELINE.md), so the curve is reported against both.
 
-Usage: python tools/run_scaling.py [small_cpus=8] [large_cpus=32]
+Usage: python tools/run_scaling.py [cpus ...]     (default: 4 8 16 32)
+Env:   SPARK_GRAFT_SF_DIR, BENCH_SCALE (default 2000 → 10M points)
 """
 
 from __future__ import annotations
@@ -20,14 +21,22 @@ import time
 
 
 def run_bench(cpus: int, sf_dir: str, scale: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir,
-               BENCH_SCALE=scale)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        BENCH_SCALE=scale,
+        BENCH_ONLY="q_epsilon_join,q_knn10",
+        # constant data-sized partitioning across all parallelism levels:
+        # the protocol compares CPU scaling of ONE physical plan
+        BENCH_SHUFFLE_PARTITIONS=os.environ.get("BENCH_SHUFFLE_PARTITIONS", "64"),
+    )
     t0 = time.time()
     out = subprocess.run(
         [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
-        timeout=1800,
+        timeout=3600,
     )
-    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    lines = [line for line in out.stdout.splitlines() if line.startswith("{")]
     if not lines:
         raise RuntimeError(f"bench failed @ {cpus} cpus:\n{out.stderr[-2000:]}")
     res = json.loads(lines[-1])
@@ -36,49 +45,64 @@ def run_bench(cpus: int, sf_dir: str, scale: str) -> dict:
 
 
 def main() -> None:
-    small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    large = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    points = [int(a) for a in sys.argv[1:]] or [4, 8, 16, 32]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    scale = os.environ.get("BENCH_SCALE", "200")
+    scale = os.environ.get("BENCH_SCALE", "2000")
 
-    r_small = run_bench(small, sf_dir, scale)
-    r_large = run_bench(large, sf_dir, scale)
+    runs = {c: run_bench(c, sf_dir, scale) for c in points}
 
-    # north-rule evidence: the SAME job at two cluster sizes must produce the
-    # SAME answer — row counts per query are part of the record
-    assert r_small["rows"] == r_large["rows"], (
-        f"output rows differ across parallelism: {r_small['rows']} vs {r_large['rows']}"
-    )
+    # north-rule evidence: the SAME job at every cluster size must produce
+    # the SAME answer — per-query row counts are part of the record
+    rows0 = runs[points[0]]["rows"]
+    for c in points[1:]:
+        assert runs[c]["rows"] == rows0, (
+            f"output rows differ across parallelism: {rows0} vs {runs[c]['rows']}"
+        )
 
-    tp_s, tp_l = r_small["docs_per_sec"], r_large["docs_per_sec"]
-    ratio = large / small
-    eff = tp_l / (ratio * tp_s)
+    first = runs[points[0]]
+    lines = [
+        "# scaling run (raw) — fold into BENCH/BASELINE.md by hand",
+        "",
+        f"Protocol (BASELINE.md): identical input ({sf_dir}, documents × {scale}",
+        f"replicas = {first['n_docs']} points, radius {first['radius']}), flagship",
+        "spatial workload (grid ε-join + exact kNN k=10), run at a curve of",
+        "parallelism levels as the sandbox proxy for cluster sizes.",
+        "",
+        "| parallelism | ε-join sec | kNN sec | spatial docs/sec | speedup vs first | efficiency |",
+        "|---|---|---|---|---|---|",
+    ]
+    tp0 = runs[points[0]]["docs_per_sec"]
+    for c in points:
+        r = runs[c]
+        sp = r["docs_per_sec"] / tp0
+        eff = sp / (c / points[0])
+        lines.append(
+            f"| local[{c}] | {r['queries']['q_epsilon_join']} | "
+            f"{r['queries']['q_knn10']} | {r['docs_per_sec']} | "
+            f"{sp:.2f}x | {eff:.3f} |"
+        )
+    if 8 in runs and 32 in runs:
+        e = runs[32]["docs_per_sec"] / (4 * runs[8]["docs_per_sec"])
+        ee = runs[32]["queries"]["q_epsilon_join"], runs[8]["queries"]["q_epsilon_join"]
+        eps_speed = ee[1] / ee[0]
+        lines += [
+            "",
+            f"**N→4N (8→32) combined spatial efficiency = {e:.3f}** "
+            f"(bar ≥ 0.8 of ideal; VM pure-JVM ceiling 0.68)",
+            f"**ε-join 8→32 speedup = {eps_speed:.2f}× → efficiency {eps_speed/4:.3f}**",
+        ]
+    lines += ["", "Raw JSON:", "", "```json"]
+    lines += [json.dumps(runs[c]) for c in points]
+    lines += ["```", ""]
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling_last_run.md", "w") as f:
-        f.write(f"""# scaling run (raw) — fold into BENCH/BASELINE.md by hand
-
-Protocol (BASELINE.md): identical input ({sf_dir}, documents × {scale} replicas
-= {r_small['n_docs']} points, radius {r_small['radius']}), flagship spatial
-workload (ε-join + kNN k=10), run at two parallelism levels as the sandbox
-proxy for N vs {ratio:.0f}N executors.
-
-| parallelism | ε-join sec | kNN sec | spatial docs/sec | total bench sec |
-|---|---|---|---|---|
-| local[{small}] | {r_small['queries']['q_epsilon_join']} | {r_small['queries']['q_knn10']} | {tp_s} | {r_small['value']} |
-| local[{large}] | {r_large['queries']['q_epsilon_join']} | {r_large['queries']['q_knn10']} | {tp_l} | {r_large['value']} |
-
-**Scaling efficiency (N → {ratio:.0f}N) = {tp_l:.0f} / ({ratio:.0f} × {tp_s:.0f}) = {eff:.3f}**
-(pass bar ≥ 0.8 of ideal linear; ≥ {ratio * 0.8:.1f}× speedup)
-
-Raw JSON:
-
-```json
-{json.dumps(r_small)}
-{json.dumps(r_large)}
-```
-""")
-    print(json.dumps({"small": tp_s, "large": tp_l, "efficiency": round(eff, 3)}))
+        f.write("\n".join(lines))
+    print(json.dumps({
+        "points": {c: runs[c]["docs_per_sec"] for c in points},
+        "eff_8_32": round(runs[32]["docs_per_sec"] / (4 * runs[8]["docs_per_sec"]), 3)
+        if 8 in runs and 32 in runs else None,
+    }))
 
 
 if __name__ == "__main__":

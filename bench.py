@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from parallelcovertree_spark.functions import geo
 from parallelcovertree_spark.operators.epsilon_join import epsilon_self_join
-from parallelcovertree_spark.operators.knn import knn_join_grid_kernel
+from parallelcovertree_spark.operators.knn import knn_join_block_kernel
 from parallelcovertree_spark.session import get_spark
 
 DEG_TARGET = 16.0  # target average epsilon-graph degree (incl. self-loop)
@@ -108,7 +108,7 @@ def main() -> None:
     if want("q_epsilon_join"):
         epsilon_self_join(wpts, density_radius(wn)).count()
     if want("q_knn10"):
-        knn_join_grid_kernel(wpts, k=10).count()
+        knn_join_block_kernel(wpts, k=10).count()
     if want("q_minhash_dedup"):
         minhash_dup_pairs(spark, sf_dir).count()
     wpts.unpersist()
@@ -124,7 +124,7 @@ def main() -> None:
     if want("q_epsilon_join"):
         timed("q_epsilon_join", lambda rep: epsilon_self_join(pts, radius).count())
     if want("q_knn10"):
-        timed("q_knn10", lambda rep: knn_join_grid_kernel(pts, k=10).count())
+        timed("q_knn10", lambda rep: knn_join_block_kernel(pts, k=10).count())
     # text-pipeline headline: minhash LSH dup pairs on the raw docs table —
     # the SQL-parity gate op AND the engine-grade 128-perm/16-band kernel
     if want("q_minhash_dedup"):

@@ -17,7 +17,11 @@ srcs; candidate blow-up is bounded by the 9-cell ring at a density-matched
 resolution. Ties broken (dist², dst asc); self excluded (FIXTURES.md F3).
 
 ``knn_brute_force`` is the oracle-shaped exact variant (cross join + window) —
-quadratic, test scale only.
+quadratic, test scale only. Four exact plans, one answer:
+``knn_join`` (pure-DataFrame window), ``knn_join_grid_kernel`` (per-cell
+numpy, 9× point replication), ``knn_join_block_kernel`` (per-block numpy,
+~1.27× replication — fastest, the bench path), ``plans.query.tree_knn``
+(cover-tree-routed).
 """
 
 from __future__ import annotations
@@ -486,3 +490,237 @@ def knn_brute_force(
         .withColumn("dist2", dist2_expr("sx", "sy", "tx", "ty"))
     )
     return _topk(cand, k).select("src", "nbr_rank", "dst")
+
+
+def knn_join_block_kernel(
+    points: DataFrame,
+    k: int = 10,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+    r0: float | None = None,
+    cell_factor: float = 2.0,
+    block_cells: int = 8,
+    max_rounds: int = 5,
+) -> DataFrame:
+    """Exact kNN via per-BLOCK numpy kernels — the pipe-lean evolution of
+    ``knn_join_grid_kernel``.
+
+    The per-cell kernel ships every point 9× (its cell's full ring). Here
+    the unit of work is a BLOCK of ``block_cells`` × ``block_cells`` grid
+    cells: a point ships once to its own block plus to adjacent blocks only
+    when it sits in the block's 1-cell border — expected replication
+    ``((B+2)/B)²`` ≈ 1.27 at B=8 instead of 9. Inside a task the kernel
+    resolves each core cell's 3×3 ring by searchsorted lookups over the
+    block's cell-sorted rows (the halo guarantees the ring is complete), so
+    certification semantics are identical to the cell kernel — and to the
+    brute-force oracle. Same straggler protocol (empty topk marker rows,
+    doubled radius, broadcast fallback).
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    M = 1 << 21
+    OFF = 1 << 20
+    NBR = np.array([dx * M + dy for dx in (-1, 0, 1) for dy in (-1, 0, 1)], dtype=np.int64)
+
+    base = points.select(
+        F.col(id_col).cast("long").alias("pid"),
+        F.col(x).cast("double").alias("px"),
+        F.col(y).cast("double").alias("py"),
+    ).persist()
+    n_total = base.count()
+    r = float(r0) if r0 is not None else estimate_radius(base, k + 1, "px", "py")
+    brute_pair_budget = 200_000_000
+    spark = base.sparkSession
+    parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 16)
+    out_schema = "src long, topk array<long>"
+    B = int(block_cells)
+    results: list[DataFrame] = []
+    unresolved_ids: DataFrame | None = None
+
+    for round_no in range(max_rounds):
+        s = cell_factor * r
+        ix = F.floor(F.col("px") / F.lit(s)).cast("long")
+        iy = F.floor(F.col("py") / F.lit(s)).cast("long")
+        cands = base.select(
+            "pid", "px", "py",
+            ((ix + OFF) * M + (iy + OFF)).alias("cell"),
+            F.pmod(ix, F.lit(B)).alias("mx"), F.pmod(iy, F.lit(B)).alias("my"),
+            ((ix - F.pmod(ix, F.lit(B))) / B).cast("long").alias("bx"),
+            ((iy - F.pmod(iy, F.lit(B))) / B).cast("long").alias("by"),
+        )
+        offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                         for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+        xok = (
+            (F.col("_o.dx") == 0)
+            | ((F.col("_o.dx") == -1) & (F.col("mx") == 0))
+            | ((F.col("_o.dx") == 1) & (F.col("mx") == B - 1))
+        )
+        yok = (
+            (F.col("_o.dy") == 0)
+            | ((F.col("_o.dy") == -1) & (F.col("my") == 0))
+            | ((F.col("_o.dy") == 1) & (F.col("my") == B - 1))
+        )
+        ex = (
+            cands.select("pid", "px", "py", "cell", "mx", "my", "bx", "by",
+                         F.explode(offs).alias("_o"))
+            .where(xok & yok)
+            .select(
+                "pid", "px", "py", "cell",
+                ((F.col("bx") + F.col("_o.dx") + OFF) * M
+                 + (F.col("by") + F.col("_o.dy") + OFF)).alias("block"),
+                ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("own"),
+            )
+        )
+        if unresolved_ids is None:
+            ex = ex.withColumn("core", F.col("own")).drop("own")
+        else:
+            flag = unresolved_ids.withColumn("_u", F.lit(True))
+            ex = ex.join(flag, ex.pid == flag.src, "left").select(
+                "pid", "px", "py", "cell", "block",
+                (F.col("own") & F.coalesce(F.col("_u"), F.lit(False))).alias("core"),
+            )
+        rr = r
+
+        def kernel(batches):
+            carry: pd.DataFrame | None = None
+
+            def solve(pdf: pd.DataFrame, last: bool):
+                nonlocal carry
+                if carry is not None:
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                    carry = None
+                blocks = pdf["block"].to_numpy(np.int64)
+                if not last:
+                    tail = blocks == blocks[-1]
+                    if tail.all():
+                        carry = pdf
+                        return None
+                    carry = pdf.iloc[np.nonzero(tail)[0]]
+                    pdf = pdf.iloc[np.nonzero(~tail)[0]]
+                    blocks = blocks[~tail]
+                cells = pdf["cell"].to_numpy(np.int64)
+                ids = pdf["pid"].to_numpy(np.int64)
+                xy = np.stack([pdf["px"].to_numpy(np.float64),
+                               pdf["py"].to_numpy(np.float64)], axis=1)
+                core = pdf["core"].to_numpy(bool)
+                r2 = rr * rr
+                out_src, out_dst, fail_src = [], [], []
+                # iterate block groups; within each, unique-cell directory
+                bbounds = np.nonzero(np.diff(blocks))[0] + 1
+                bstarts = np.concatenate([[0], bbounds])
+                bends = np.concatenate([bbounds, [len(blocks)]])
+                for b0, b1 in zip(bstarts, bends):
+                    bc = cells[b0:b1]
+                    uc, ustart = np.unique(bc, return_index=True)
+                    uend = np.concatenate([ustart[1:], [len(bc)]])
+                    has_core = np.bitwise_or.reduceat(core[b0:b1], ustart)
+                    cidx = np.nonzero(has_core)[0]
+                    if not len(cidx):
+                        continue
+                    # all core cells' neighbor lookups at once
+                    nbrs = uc[cidx][:, None] + NBR[None, :]
+                    pos = np.searchsorted(uc, nbrs)
+                    ok = (pos < len(uc)) & (uc[np.minimum(pos, len(uc) - 1)] == nbrs)
+                    for row_i, ci in enumerate(cidx):
+                        p = pos[row_i][ok[row_i]]
+                        cand_idx = np.concatenate(
+                            [np.arange(ustart[j], uend[j]) for j in p]
+                        ) + b0
+                        cm = core[b0 + ustart[ci]: b0 + uend[ci]]
+                        crows = np.arange(b0 + ustart[ci], b0 + uend[ci])[cm]
+                        if not len(crows):
+                            continue
+                        if len(cand_idx) <= k:
+                            fail_src.append(ids[crows])
+                            continue
+                        cxy = xy[crows]
+                        cid = ids[crows]
+                        axy = xy[cand_idx]
+                        aid = ids[cand_idx]
+                        d2 = ((cxy[:, None, :] - axy[None, :, :]) ** 2).sum(axis=2)
+                        d2[cid[:, None] == aid[None, :]] = np.inf
+                        within = d2 <= r2
+                        okc = within.sum(axis=1) >= k
+                        if not okc.all():
+                            fail_src.append(cid[~okc])
+                        if not okc.any():
+                            continue
+                        dd = np.where(within[okc], d2[okc], np.inf)
+                        ordc = np.argsort(aid, kind="stable")
+                        dd = dd[:, ordc]
+                        sel = np.argsort(dd, axis=1, kind="stable")[:, :k]
+                        out_src.append(cid[okc])
+                        out_dst.append(aid[ordc][sel].ravel())
+                src_ok = np.concatenate(out_src) if out_src else np.empty(0, np.int64)
+                dst_flat = np.concatenate(out_dst) if out_dst else np.empty(0, np.int64)
+                fs = np.concatenate(fail_src) if fail_src else np.empty(0, np.int64)
+                src_arr = np.concatenate([src_ok, fs])
+                if not len(src_arr):
+                    return None
+                lens = np.zeros(len(src_arr), dtype=np.int32)
+                lens[: len(src_ok)] = k
+                offsets = np.zeros(len(src_arr) + 1, dtype=np.int32)
+                np.cumsum(lens, out=offsets[1:])
+                topk = pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(dst_flat, pa.int64())
+                )
+                return pa.RecordBatch.from_arrays(
+                    [pa.array(src_arr, pa.int64()), topk], ["src", "topk"]
+                )
+
+            prev = None
+            for rb in batches:
+                pdf = rb.to_pandas()
+                if prev is not None:
+                    out = solve(prev, last=False)
+                    if out is not None and len(out):
+                        yield out
+                prev = pdf
+            if prev is not None:
+                out = solve(prev, last=True)
+                if out is not None and len(out):
+                    yield out
+
+        solved = (
+            ex.repartition(parts, "block")
+            .sortWithinPartitions("block", "cell")
+            .mapInArrow(kernel, out_schema)
+            .localCheckpoint(eager=True)
+        )
+        results.append(
+            solved.where(F.size("topk") > 0)
+            .select("src", F.posexplode("topk").alias("pos", "dst"))
+            .select("src", (F.col("pos") + 1).cast("int").alias("nbr_rank"), "dst")
+        )
+        prev_unresolved = unresolved_ids
+        unresolved_ids = solved.where(F.size("topk") == 0).select("src").persist()
+        remaining = unresolved_ids.count()
+        if prev_unresolved is not None:
+            prev_unresolved.unpersist()
+        if remaining == 0:
+            break
+        r *= 2.0
+        if remaining * n_total <= brute_pair_budget or round_no == max_rounds - 1:
+            strag = base.join(F.broadcast(unresolved_ids), base.pid == F.col("src")).select(
+                F.col("pid").alias("q"), F.col("px").alias("qx"), F.col("py").alias("qy")
+            )
+            cand = F.broadcast(strag).join(base, F.col("q") != F.col("pid"))
+            d2 = ((F.col("qx") - F.col("px")) ** 2 + (F.col("qy") - F.col("py")) ** 2)
+            w = Window.partitionBy("q").orderBy(d2.asc(), F.col("pid").asc())
+            results.append(
+                cand.withColumn("nbr_rank", F.row_number().over(w))
+                .where(F.col("nbr_rank") <= k)
+                .select(F.col("q").alias("src"), "nbr_rank", F.col("pid").alias("dst"))
+                .localCheckpoint(eager=True)
+            )
+            break
+
+    out = results[0]
+    for p in results[1:]:
+        out = out.unionByName(p)
+    base.unpersist()
+    if unresolved_ids is not None:
+        unresolved_ids.unpersist()
+    return out

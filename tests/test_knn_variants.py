@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 
 from parallelcovertree_spark.operators.knn import (
+    knn_join_block_kernel,
     knn_join,
     knn_join_grid_kernel,
     knn_join_jvm_arrays,
@@ -16,7 +17,7 @@ from parallelcovertree_spark.sources.synthetic import (
 )
 
 
-@pytest.mark.parametrize("variant", [knn_join, knn_join_grid_kernel, knn_join_jvm_arrays])
+@pytest.mark.parametrize("variant", [knn_join, knn_join_grid_kernel, knn_join_block_kernel, knn_join_jvm_arrays])
 def test_variants_match_oracle(spark, variant):
     pts = synthetic_points(spark, 400).persist()
     got = {(r.src, r.nbr_rank, r.dst) for r in variant(pts, k=10).collect()}

@@ -54,6 +54,10 @@ def epsilon_self_join(
       as the blunt fallback when no histogram is available.
     """
     res = float(radius)
+    if hot_cells is None and salt == 0:
+        return _epsilon_self_join_half(
+            points, res, id_col, x, y, include_self, emit_dist2
+        )
     left = with_cell(
         points.select(
             F.col(id_col).alias("src"),
@@ -116,6 +120,83 @@ def epsilon_self_join(
     if emit_dist2:
         out_cols.append(d2.alias("dist2"))
     return pairs.where(cond).select(*out_cols)
+
+
+# half-neighborhood directions: for every nonzero cell offset o in the 1-ring,
+# exactly one of {o, -o} is listed, so each unordered cross-cell pair meets
+# exactly once in the join (plane-sweep symmetry trick)
+_HALF_DIRS = [(0, 0), (1, 0), (1, 1), (0, 1), (-1, 1)]
+
+
+def _epsilon_self_join_half(
+    points: DataFrame,
+    res: float,
+    id_col: str,
+    x: str,
+    y: str,
+    include_self: bool,
+    emit_dist2: bool,
+) -> DataFrame:
+    """Half-neighborhood ε-self-join: each unordered pair is computed ONCE
+    (candidates explode to 5 cells instead of the full 9-ring; same-cell
+    pairs tie-break on id), then both ordered directions are emitted by a
+    map-side explode. Shuffle volume drops from n + 9n to n + 5n rows with
+    zero recomputation — the plan you'd want at 100x for the symmetric
+    self-join (the ring variant remains for the salted/hot-cell regime and
+    for asymmetric query×corpus joins)."""
+    from parallelcovertree_spark.functions.cells import cell_id_from_ix, cell_ix
+
+    base = points.select(
+        F.col(id_col).alias("src"),
+        F.col(x).cast("double").alias("sx"),
+        F.col(y).cast("double").alias("sy"),
+    )
+    left = with_cell(base, res, x="sx", y="sy", out="_cell")
+    ix, iy = cell_ix("tx", res), cell_ix("ty", res)
+    dirs = F.array(*[
+        F.struct(
+            cell_id_from_ix(ix + F.lit(dx), iy + F.lit(dy)).alias("c"),
+            F.lit(dx == 0 and dy == 0).alias("same"),
+        )
+        for dx, dy in _HALF_DIRS
+    ])
+    right = (
+        points.select(
+            F.col(id_col).alias("dst"),
+            F.col(x).cast("double").alias("tx"),
+            F.col(y).cast("double").alias("ty"),
+        )
+        .withColumn("_d", F.explode(dirs))
+        .select("dst", "tx", "ty", F.col("_d.c").alias("_cell"), F.col("_d.same").alias("_same"))
+    )
+    d2 = dist2_expr("sx", "sy", "tx", "ty")
+    once = (
+        left.join(right.hint("shuffle_hash"), "_cell")
+        # same-cell rows pair each {a,b} once via a.id < b.id (also drops
+        # a==a); cross-cell rows are unique by the half-direction choice
+        .where((d2 <= F.lit(res * res)) & (~F.col("_same") | (F.col("src") < F.col("dst"))))
+        .select("src", "dst", d2.alias("dist2"))
+    )
+    both = once.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst"), F.col("dist2")),
+                F.struct(
+                    F.col("dst").alias("src"),
+                    F.col("src").alias("dst"),
+                    F.col("dist2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst", "p.dist2")
+    if include_self:
+        loops = base.select(
+            "src", F.col("src").alias("dst"), F.lit(0.0).alias("dist2")
+        )
+        both = both.unionByName(loops)
+    if emit_dist2:
+        return both
+    return both.select("src", "dst")
 
 
 def epsilon_join(

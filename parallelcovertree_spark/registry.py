@@ -112,6 +112,26 @@ def knn_docs_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_block_kernel(_doc_points(spark, sf_dir), k=KNN_K, id_col="id")
 
 
+@_register(
+    "epsilon_join_two_table",
+    f"""{_PTS_CTE}
+SELECT a.id AS src, b.id AS dst
+FROM pts a, pts b
+WHERE a.id < 100
+  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {1.5 * 1.5!r}
+""",
+)
+def epsilon_join_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY J1 asymmetric form (queries × corpus): the k-ring equi-join
+    path — kept oracle-covered since the self-join moved to the
+    half-neighborhood plan."""
+    from parallelcovertree_spark.operators.epsilon_join import epsilon_join
+
+    pts = _doc_points(spark, sf_dir)
+    qs = pts.where(F.col("id") < 100).withColumnRenamed("id", "qid")
+    return epsilon_join(qs, pts, 1.5, left_id="qid")
+
+
 _X = geo.X_SQL.format(id="doc_id")
 _Y = geo.Y_SQL.format(id="doc_id")
 

@@ -54,3 +54,25 @@ def test_load_imbalance_metric(spark):
     pts = synthetic_points(spark, 1000)
     m = load_imbalance(pts, res=1.0, partitions=8)
     assert m > 0.0
+
+
+def test_half_plan_options_and_expansion(spark):
+    """Half-neighborhood self-join: include_self/emit_dist2 parameter
+    surface, and the candidate side explodes to exactly 5 cells (not 9)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    pts = synthetic_points(spark, 300)
+    pdf = gaussian_points_np(300)
+    no_self = {(r.src, r.dst) for r in
+               epsilon_self_join(pts, 1.0, include_self=False).collect()}
+    want = {(s, d) for s, d in epsilon_graph_np(pdf, 1.0) if s != d}
+    assert no_self == want
+    with_d2 = epsilon_self_join(pts, 1.0, emit_dist2=True)
+    assert with_d2.columns == ["src", "dst", "dist2"]
+    row = with_d2.where(F.col("src") == F.col("dst")).limit(1).collect()[0]
+    assert row.dist2 == 0.0
+    # physical expansion: the plan's Generate emits 5 structs per input row
+    plan = with_d2._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "ShuffledHashJoin" in plan and "CartesianProduct" not in plan

@@ -110,3 +110,20 @@ def test_media_features_plumbing(spark):
 def test_decode_stub_raises_without_fake():
     with pytest.raises(NotImplementedError):
         decode_payload(b"\x00" * 8, "image", fake=False)
+
+
+def test_windowed_counts_session_tz_independent(spark):
+    """The event-time derivation is pure NTZ arithmetic: identical buckets
+    under any session time zone (incl. a non-whole-hour offset)."""
+    from parallelcovertree_spark.streaming.jobs import windowed_event_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        a = sorted(tuple(r) for r in windowed_event_counts(ev).collect())
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+        b = sorted(tuple(r) for r in windowed_event_counts(ev).collect())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert a == b and len(a) > 0

@@ -991,6 +991,25 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "tile_ingest_counts",
+    f"""{_PTS_CTE}
+SELECT ((1704067200000000 + id * 37000000) // 3600000000) * 3600 AS bucket,
+       {cell_id_sql('x', 'y', TILE_RES)} AS cell_id,
+       COUNT(*) AS n_docs
+FROM pts GROUP BY 1, 2
+""",
+)
+def tile_ingest_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming spatial-ingest job (streaming/tiles.py):
+    per-(1h ingest window, tile) doc counts — the live cell histogram that
+    drives hot-cell salting. Stream == batch pinned by pytest; this gate
+    pins batch == SQL."""
+    from parallelcovertree_spark.streaming.tiles import tile_ingest_counts
+
+    return tile_ingest_counts(_docs(spark, sf_dir), res=TILE_RES)
+
+
+@_register(
     "ball_radii",
     "SELECT n_nationkey AS level, POW(2.0, -CAST(n_nationkey AS DOUBLE)) AS ball FROM nation",
 )

@@ -127,3 +127,35 @@ def test_windowed_counts_session_tz_independent(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
     assert a == b and len(a) > 0
+
+
+def test_streaming_tile_ingest_equals_batch(tmp_path, spark):
+    """Spatial streaming twin: per-(window, tile) doc counts from an
+    availableNow stream drain == the batch transformation, and match the
+    oracle-gated cell histogram totals."""
+    from parallelcovertree_spark.streaming.jobs import run_stream_once
+    from parallelcovertree_spark.streaming.tiles import (
+        stream_docs_from_parquet,
+        tile_ingest_counts,
+    )
+
+    import shutil
+
+    # the file stream source watches a DIRECTORY; stage the single parquet
+    # file into one (micro-batch = 1 file)
+    ddir = tmp_path / "docs_stream"
+    ddir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", ddir / "part-0.parquet")
+    batch_docs = spark.read.parquet(str(ddir))
+    batch = sorted(tuple(r) for r in tile_ingest_counts(batch_docs).collect())
+
+    stream = stream_docs_from_parquet(spark, str(ddir))
+    out = run_stream_once(
+        tile_ingest_counts(stream, streaming=True),
+        "tile_counts", str(tmp_path / "ckpt"),
+    )
+    streamed = sorted(tuple(r) for r in out.collect())
+    assert streamed == batch and len(batch) > 0
+    # totals agree with the per-cell histogram (res 2.0 everywhere)
+    n = sum(r[2] for r in batch)
+    assert n == batch_docs.count()

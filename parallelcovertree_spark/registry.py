@@ -243,8 +243,8 @@ def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _langid_case_sql() -> str:
-    scores = {lang: lang_score_sql("text", lang) for lang in LANG_MARKERS}
+def _langid_case_sql(t: str = "text") -> str:
+    scores = {lang: lang_score_sql(t, lang) for lang in LANG_MARKERS}
     langs = list(LANG_MARKERS)
     whens = []
     for i, lg in enumerate(langs[:-1]):
@@ -590,6 +590,80 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cands = minhash_dup_pairs(spark, sf_dir)
     return jaccard_verify(_docs(spark, sf_dir), cands, threshold=_NGRAM_TAU, n=3)
+
+
+_QUALITY_TAU = 0.18
+
+
+@_register(
+    "clean_corpus",
+    f"""WITH RECURSIVE toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+),
+sigs AS (
+  SELECT doc_id, {_mh_expr(0)} AS mh0, {_mh_expr(1)} AS mh1,
+         {_mh_expr(2)} AS mh2, {_mh_expr(3)} AS mh3
+  FROM toks GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, CAST(mh0 AS BIGINT) * {_MH_P} + mh1 AS b0,
+         CAST(mh2 AS BIGINT) * {_MH_P} + mh3 AS b1 FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b
+    ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.doc_id < b.doc_id
+),
+t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+sh3 AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM t WHERE LEN(w) >= 3
+),
+pairs AS (
+  SELECT src, dst
+  FROM cand JOIN sh3 a ON a.doc_id = src JOIN sh3 b ON b.doc_id = dst
+  WHERE CAST(LEN(LIST_DISTINCT(LIST_INTERSECT(a.s, b.s))) AS DOUBLE)
+          / CAST(LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) AS DOUBLE) >= {_NGRAM_TAU!r}
+),
+und AS (SELECT src AS a, dst AS b FROM pairs UNION SELECT dst, src FROM pairs),
+reach AS (
+  SELECT a AS node, a AS label FROM und
+  UNION
+  SELECT u.a AS node, r.label FROM und u JOIN reach r ON u.b = r.node
+),
+lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+SELECT d.doc_id, {TOKEN_COUNT_SQL.format(t='d.text')} AS n_tokens
+FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
+WHERE COALESCE(lab.label, d.doc_id) = d.doc_id
+  AND ({_langid_case_sql('d.text')}) = 'en'
+  AND CAST({TOKEN_COUNT_SQL.format(t='d.text')} AS DOUBLE)
+        / CAST(LENGTH(d.text) + 1 AS DOUBLE) >= {_QUALITY_TAU!r}
+""",
+)
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline output: keep a document iff it
+    is (a) its near-dup cluster's keeper — clusters built on VERIFIED pairs
+    (MinHash LSH candidates -> exact trigram-Jaccard >= tau -> connected
+    components), (b) language-ID'd as English, and (c) above the quality
+    threshold. One query composing the whole dedup + analysis surface —
+    what a user of this engine actually materializes."""
+    from parallelcovertree_spark.operators.dedup import dedup_clusters
+
+    docs = _docs(spark, sf_dir)
+    verified = ngram_jaccard_dups(spark, sf_dir).select("src", "dst")
+    keepers = dedup_clusters(docs, verified).where(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select("doc_id")
+    tok = F.expr(TOKEN_COUNT_SQL.format(t="text"))
+    quality = tok.cast("double") / (F.length("text") + F.lit(1)).cast("double")
+    lang = F.expr(_langid_case_sql())
+    return (
+        docs.join(keepers, "doc_id")
+        .where((lang == "en") & (quality >= F.lit(_QUALITY_TAU)))
+        .select("doc_id", tok.alias("n_tokens"))
+    )
 
 
 # --- similarity search over embeddings (ANN) ----------------------------------

@@ -410,6 +410,20 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(_docs(spark, sf_dir), pairs)
 
 
+@_register("doc_fingerprints", None)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: min rolling byte-hash per doc (the
+    engine-grade kernel, fully vectorized column-wise numpy — see
+    functions/text.fingerprint_np). Rows-only driver check (the rolling
+    hash is not SQL-expressible); determinism and loop-parity are pinned by
+    tests/test_sources_text.py."""
+    from parallelcovertree_spark.functions.text import fingerprint_udf
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint_udf(F.col("text")).alias("fingerprint")
+    )
+
+
 @_register("minhash_dup_pairs_engine", None)
 def minhash_dup_pairs_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-grade MinHash LSH (128 perms / 16 bands, 64-bit SipHash token

@@ -190,6 +190,7 @@ def radii_query_np(
     qxy: np.ndarray,
     radius: float,
     stop_at: np.ndarray | None = None,
+    stop_radii: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Batched frontier traversal: all queries descend the tree level-by-level
     as (query, vertex) pair arrays — fully vectorized (no per-query stack).
@@ -198,6 +199,11 @@ def radii_query_np(
     within radius; routes are pairs that reached a vertex in ``stop_at``
     (local-tree roots — the distributed top-tree traversal,
     DistCoverTree.cpp:1088-1125) and must continue in that subtree.
+
+    ``stop_radii`` (aligned with ``stop_at``): each local tree's ACTUAL
+    covering radius, which is ≤ the level bound ``max_radius·base^-level`` —
+    substituting it prunes routes the generic ball bound cannot (the
+    reference memoizes only the level bound, DistCoverTree.cpp:164-173).
     """
     qxy = np.asarray(qxy, dtype=np.float32).astype(np.float64)
     nq = len(qxy)
@@ -216,6 +222,8 @@ def radii_query_np(
 
     # ball radius bound per vertex: r + max_radius * base^-level
     bound = radius + tree.max_radius * np.power(tree.base, -1.0 * tree.level)
+    if stop_at is not None and stop_radii is not None and len(stop_at):
+        bound[stop_at] = radius + stop_radii  # exact covering radii
 
     while len(q):
         if stop_mask.any():

@@ -67,6 +67,25 @@ def _top_tree_arrays(model: CoverTreeModel) -> tuple[TreeArrays, np.ndarray, np.
     return tree, upid, stop  # upid maps point index → global pid
 
 
+def _hub_radii(model: CoverTreeModel, vid_of_stop: np.ndarray) -> np.ndarray | None:
+    """Actual covering radius per local-tree root (aligned with
+    ``model.local_roots``) — each local build records max dist from its hub
+    point. ≤ the generic level ball bound, so routing with it is exact AND
+    strictly tighter. Collected once per model (n_hubs rows), memoized."""
+    if model.local_trees is None or not len(vid_of_stop):
+        return None
+    cached = getattr(model, "_hub_radii_cache", None)
+    if cached is None:
+        rows = (
+            model.local_trees.groupBy("hub_id")
+            .agg(F.max("lmax_radius").alias("lmax"))
+            .collect()
+        )
+        cached = {int(r.hub_id): float(r.lmax) for r in rows}
+        object.__setattr__(model, "_hub_radii_cache", cached)
+    return np.array([cached[int(v)] for v in vid_of_stop], dtype=np.float64)
+
+
 def tree_radius_join(
     model: CoverTreeModel,
     queries: DataFrame,
@@ -80,7 +99,8 @@ def tree_radius_join(
     tree, upid, stop = _top_tree_arrays(model)
     vid_of_stop = np.array(model.local_roots, dtype=np.int64)
     stop_to_vid = dict(zip(stop.tolist(), vid_of_stop.tolist()))
-    bc = spark.sparkContext.broadcast((tree, upid, stop, stop_to_vid))
+    stop_radii = _hub_radii(model, vid_of_stop)
+    bc = spark.sparkContext.broadcast((tree, upid, stop, stop_to_vid, stop_radii))
     r = float(radius)
     base = model.base  # plain scalar for executor closures (model holds DFs)
 
@@ -91,12 +111,14 @@ def tree_radius_join(
     )
 
     def stage1(batches):
-        t, point_ids, stop_idx, s2v = bc.value
+        t, point_ids, stop_idx, s2v, s_radii = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
             qxy = np.stack([pdf["qx"].to_numpy(), pdf["qy"].to_numpy()], axis=1)
-            hq, hp, rq, rv = radii_query_np(t, qxy, r, stop_at=stop_idx)
+            hq, hp, rq, rv = radii_query_np(
+                t, qxy, r, stop_at=stop_idx, stop_radii=s_radii
+            )
             out = []
             if len(hq):
                 out.append(pd.DataFrame({

@@ -502,6 +502,8 @@ def knn_join_block_kernel(
     cell_factor: float = 2.0,
     block_cells: int = 8,
     max_rounds: int = 5,
+    queries: DataFrame | None = None,
+    query_id_col: str = "id",
 ) -> DataFrame:
     """Exact kNN via per-BLOCK numpy kernels — the pipe-lean evolution of
     ``knn_join_grid_kernel``.
@@ -516,6 +518,11 @@ def knn_join_block_kernel(
     certification semantics are identical to the cell kernel — and to the
     brute-force oracle. Same straggler protocol (empty topk marker rows,
     doubled radius, broadcast fallback).
+
+    ``queries`` switches to the two-table form (queries × corpus): query
+    rows ship to their own block only (the corpus halo brings their ring),
+    are never candidates, and a corpus point sharing a query's id is
+    excluded (so querying the corpus with itself equals the self-join).
     """
     import pandas as pd
     import pyarrow as pa
@@ -530,6 +537,13 @@ def knn_join_block_kernel(
         F.col(y).cast("double").alias("py"),
     ).persist()
     n_total = base.count()
+    qbase = None
+    if queries is not None:
+        qbase = queries.select(
+            F.col(query_id_col).cast("long").alias("pid"),
+            F.col(x).cast("double").alias("px"),
+            F.col(y).cast("double").alias("py"),
+        ).persist()
     r = float(r0) if r0 is not None else estimate_radius(base, k + 1, "px", "py")
     brute_pair_budget = 200_000_000
     spark = base.sparkSession
@@ -573,13 +587,38 @@ def knn_join_block_kernel(
                 ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("own"),
             )
         )
-        if unresolved_ids is None:
-            ex = ex.withColumn("core", F.col("own")).drop("own")
+        if qbase is not None:
+            # two-table: corpus rows are candidates only; query rows go to
+            # their own block, are cores only
+            ex = ex.select("pid", "px", "py", "cell", "block",
+                           F.lit(False).alias("core"), F.lit(True).alias("cand"))
+            qrows = qbase.select(
+                "pid", "px", "py",
+                ((ix + OFF) * M + (iy + OFF)).alias("cell"),
+                (((ix - F.pmod(ix, F.lit(B))) / B).cast("long") + OFF).alias("_bx"),
+                (((iy - F.pmod(iy, F.lit(B))) / B).cast("long") + OFF).alias("_by"),
+            ).select(
+                "pid", "px", "py", "cell",
+                (F.col("_bx") * M + F.col("_by")).alias("block"),
+                F.lit(True).alias("core"), F.lit(False).alias("cand"),
+            )
+            if unresolved_ids is not None:
+                flag = unresolved_ids.withColumn("_u", F.lit(True))
+                qrows = qrows.join(flag, qrows.pid == flag.src, "left").select(
+                    "pid", "px", "py", "cell", "block",
+                    F.coalesce(F.col("_u"), F.lit(False)).alias("core"), "cand",
+                )
+            ex = ex.unionByName(qrows)
+        elif unresolved_ids is None:
+            ex = ex.withColumn("core", F.col("own")).drop("own").withColumn(
+                "cand", F.lit(True)
+            )
         else:
             flag = unresolved_ids.withColumn("_u", F.lit(True))
             ex = ex.join(flag, ex.pid == flag.src, "left").select(
                 "pid", "px", "py", "cell", "block",
                 (F.col("own") & F.coalesce(F.col("_u"), F.lit(False))).alias("core"),
+                F.lit(True).alias("cand"),
             )
         rr = r
 
@@ -605,6 +644,7 @@ def knn_join_block_kernel(
                 xy = np.stack([pdf["px"].to_numpy(np.float64),
                                pdf["py"].to_numpy(np.float64)], axis=1)
                 core = pdf["core"].to_numpy(bool)
+                cand = pdf["cand"].to_numpy(bool)
                 r2 = rr * rr
                 out_src, out_dst, fail_src = [], [], []
                 # iterate block groups; within each, unique-cell directory
@@ -628,6 +668,7 @@ def knn_join_block_kernel(
                         cand_idx = np.concatenate(
                             [np.arange(ustart[j], uend[j]) for j in p]
                         ) + b0
+                        cand_idx = cand_idx[cand[cand_idx]]
                         cm = core[b0 + ustart[ci]: b0 + uend[ci]]
                         crows = np.arange(b0 + ustart[ci], b0 + uend[ci])[cm]
                         if not len(crows):
@@ -703,7 +744,8 @@ def knn_join_block_kernel(
             break
         r *= 2.0
         if remaining * n_total <= brute_pair_budget or round_no == max_rounds - 1:
-            strag = base.join(F.broadcast(unresolved_ids), base.pid == F.col("src")).select(
+            qsrc = qbase if qbase is not None else base
+            strag = qsrc.join(F.broadcast(unresolved_ids), qsrc.pid == F.col("src")).select(
                 F.col("pid").alias("q"), F.col("px").alias("qx"), F.col("py").alias("qy")
             )
             cand = F.broadcast(strag).join(base, F.col("q") != F.col("pid"))
@@ -721,6 +763,8 @@ def knn_join_block_kernel(
     for p in results[1:]:
         out = out.unionByName(p)
     base.unpersist()
+    if qbase is not None:
+        qbase.unpersist()
     if unresolved_ids is not None:
         unresolved_ids.unpersist()
     return out

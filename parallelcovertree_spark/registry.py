@@ -132,6 +132,28 @@ def epsilon_join_two_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epsilon_join(qs, pts, 1.5, left_id="qid")
 
 
+@_register(
+    "knn_docs_queries",
+    f"""{_PTS_CTE},
+d AS (
+  SELECT a.id AS src, b.id AS dst,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a, pts b WHERE a.id < 100 AND a.id <> b.id
+),
+r AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, dst) AS rk FROM d)
+SELECT src, rk AS nbr_rank, dst FROM r WHERE rk <= {KNN_K}
+""",
+)
+def knn_docs_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table kNN (query batch × corpus) through the block kernel — the
+    ANN-style search form (SURVEY J6/J7 asymmetric)."""
+    from parallelcovertree_spark.operators.knn import knn_join_block_kernel
+
+    pts = _doc_points(spark, sf_dir)
+    qs = pts.where(F.col("id") < 100)
+    return knn_join_block_kernel(pts, k=KNN_K, queries=qs)
+
+
 _X = geo.X_SQL.format(id="doc_id")
 _Y = geo.Y_SQL.format(id="doc_id")
 

@@ -30,3 +30,46 @@ def test_jvm_arrays_forced_expansion(spark):
     pts = synthetic_points(spark, 200)
     got = {(r.src, r.nbr_rank, r.dst) for r in knn_join_jvm_arrays(pts, k=5, r0=0.01).collect()}
     assert got == knn_np(gaussian_points_np(200), k=5)
+
+
+def test_block_kernel_two_table(spark):
+    """queries × corpus form: disjoint-id queries get corpus top-k; querying
+    the corpus with itself (shared ids) equals the self-join."""
+    import numpy as np
+    import pandas as pd
+
+    from parallelcovertree_spark.sources.synthetic import gaussian_points_np
+
+    corpus_pdf = gaussian_points_np(300)
+    rng = np.random.default_rng(77)
+    q_pdf = pd.DataFrame({
+        "id": np.arange(1000, 1040, dtype=np.int64),
+        "x": rng.normal(scale=3.0, size=40).astype(np.float32),
+        "y": rng.normal(scale=3.0, size=40).astype(np.float32),
+    })
+    corpus = spark.createDataFrame(corpus_pdf)
+    qs = spark.createDataFrame(q_pdf)
+    got = {
+        (r.src, r.nbr_rank, r.dst)
+        for r in knn_join_block_kernel(corpus, k=5, queries=qs).collect()
+    }
+    cxy = corpus_pdf[["x", "y"]].to_numpy(np.float32).astype(np.float64)
+    cid = corpus_pdf["id"].to_numpy()
+    want = set()
+    for _, q in q_pdf.iterrows():
+        d2 = ((cxy - np.array([q.x, q.y], dtype=np.float64)) ** 2).sum(axis=1)
+        order = sorted(zip(d2.tolist(), cid.tolist()))
+        for rank, (_, dst) in enumerate(order[:5], start=1):
+            want.add((int(q.id), rank, int(dst)))
+    assert got == want
+
+    # shared ids == self-join
+    self_like = {
+        (r.src, r.nbr_rank, r.dst)
+        for r in knn_join_block_kernel(corpus, k=5, queries=corpus).collect()
+    }
+    direct = {
+        (r.src, r.nbr_rank, r.dst)
+        for r in knn_join_block_kernel(corpus, k=5).collect()
+    }
+    assert self_like == direct

@@ -63,3 +63,40 @@ def test_fingerprint_deterministic():
     f = fingerprint_np(s)
     assert f[0] == f[1]
     assert f[0] != f[2]
+
+
+def test_fingerprint_vectorized_matches_loop_reference():
+    """The column-wise vectorized rolling hash must be output-identical to
+    the straightforward per-document loop (the r1 implementation), incl.
+    unicode multibyte, empty, and shorter-than-window docs."""
+    import numpy as np
+    import pandas as pd
+
+    from parallelcovertree_spark.functions.text import fingerprint_np
+
+    def loop_ref(texts, window=8, prime=1_000_000_007):
+        out = np.empty(len(texts), dtype=np.int64)
+        base = 257
+        pw = pow(base, window - 1, prime)
+        for i, t in enumerate(texts):
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+            if len(b) < window:
+                out[i] = int(b.sum()) % prime
+                continue
+            h = 0
+            for j in range(window):
+                h = (h * base + int(b[j])) % prime
+            best = h
+            for j in range(window, len(b)):
+                h = ((h - int(b[j - window]) * pw) * base + int(b[j])) % prime
+                best = min(best, h)
+            out[i] = best
+        return pd.Series(out)
+
+    rng = np.random.default_rng(5)
+    texts = pd.Series(
+        ["".join(chr(rng.integers(32, 127)) for _ in range(rng.integers(0, 200)))
+         for _ in range(300)]
+        + ["", "a", "1234567", "exactly8", "ünïcödé multibyte ünïcödé", "\t\n  "]
+    )
+    assert fingerprint_np(texts).equals(loop_ref(texts))

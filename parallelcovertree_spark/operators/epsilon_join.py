@@ -208,27 +208,34 @@ def epsilon_join(
     x: str = "x",
     y: str = "y",
 ) -> DataFrame:
-    """Two-table ε-join (queries × corpus): same grid plan as the self-join."""
+    """Two-table ε-join (queries × corpus).
+
+    The RING explodes on the QUERY side: a query's candidates live in its
+    own cell's 9-ring, which is equivalently found by replicating the query
+    into those 9 cells and equi-joining the corpus's single cell per point.
+    Shuffle volume is 9·|queries| + |corpus| instead of
+    |queries| + 9·|corpus| — the right trade whenever the query batch is
+    the smaller side (the common search shape)."""
     res = float(radius)
-    left = with_cell(
+    left = explode_k_ring(
         left_points.select(
             F.col(left_id).alias("src"),
             F.col(x).cast("double").alias("sx"),
             F.col(y).cast("double").alias("sy"),
         ),
-        res, x="sx", y="sy", out="_cell",
+        res, k=1, x="sx", y="sy", out="_cell",
     )
-    right = explode_k_ring(
+    right = with_cell(
         right_points.select(
             F.col(right_id).alias("dst"),
             F.col(x).cast("double").alias("tx"),
             F.col(y).cast("double").alias("ty"),
         ),
-        res, k=1, x="tx", y="ty", out="_cell",
+        res, x="tx", y="ty", out="_cell",
     )
     d2 = dist2_expr("sx", "sy", "tx", "ty")
     return (
-        left.join(right.hint("shuffle_hash"), "_cell")
+        left.hint("shuffle_hash").join(right.hint("shuffle_hash"), "_cell")
         .where(d2 <= F.lit(res * res))
         .select("src", "dst")
     )

@@ -20,7 +20,7 @@ resolution. Ties broken (dist², dst asc); self excluded (FIXTURES.md F3).
 quadratic, test scale only. Four exact plans, one answer:
 ``knn_join`` (pure-DataFrame window), ``knn_join_grid_kernel`` (per-cell
 numpy, 9× point replication), ``knn_join_block_kernel`` (per-block numpy,
-~1.27× replication — fastest, the bench path), ``plans.query.tree_knn``
+~1.13× replication — fastest, the bench path), ``plans.query.tree_knn``
 (cover-tree-routed).
 """
 
@@ -500,7 +500,7 @@ def knn_join_block_kernel(
     y: str = "y",
     r0: float | None = None,
     cell_factor: float = 2.0,
-    block_cells: int = 8,
+    block_cells: int = 16,
     max_rounds: int = 5,
     queries: DataFrame | None = None,
     query_id_col: str = "id",
@@ -512,7 +512,7 @@ def knn_join_block_kernel(
     the unit of work is a BLOCK of ``block_cells`` × ``block_cells`` grid
     cells: a point ships once to its own block plus to adjacent blocks only
     when it sits in the block's 1-cell border — expected replication
-    ``((B+2)/B)²`` ≈ 1.27 at B=8 instead of 9. Inside a task the kernel
+    ``((B+2)/B)²`` ≈ 1.13 at the default B=16 instead of 9. Inside a task the kernel
     resolves each core cell's 3×3 ring by searchsorted lookups over the
     block's cell-sorted rows (the halo guarantees the ring is complete), so
     certification semantics are identical to the cell kernel — and to the

@@ -108,20 +108,47 @@ def fingerprint_np(texts: pd.Series, window: int = 8, prime: int = 1_000_000_007
     over byte windows — the real document-fingerprint kernel (the SQL-parity
     queries use the weaker token hash above).
 
-    Vectorized column-wise: all documents of the batch land in one padded
-    (n × max_len) byte matrix and the rolling recurrence advances one COLUMN
-    per step — O(max_len) numpy passes over all rows at once, no per-byte
-    Python. Intermediates stay < 2^63 (h < prime ≈ 1e9, ×257, ±255·prime).
-    Docs shorter than ``window`` hash to byte-sum mod prime (unchanged)."""
+    Vectorized column-wise: documents land in a padded (rows × max_len) byte
+    matrix and the rolling recurrence advances one COLUMN per step — O(max_len)
+    numpy passes over all rows at once, no per-byte Python. Intermediates stay
+    < 2^63 (h < prime ≈ 1e9, ×257, ±255·prime). Docs shorter than ``window``
+    hash to byte-sum mod prime (unchanged).
+
+    Memory-bounded: rows are BUCKETED by length (ascending sort, greedy cut
+    whenever rows·max_len exceeds ~16M cells ≈ 128 MB of int64) so one long
+    document in a large Arrow batch cannot inflate the padded matrix to
+    rows × max_len — the matrix tracks total bytes, not the worst row."""
     texts = pd.Series(texts).reset_index(drop=True)
     n = len(texts)
     if n == 0:
         return pd.Series(np.empty(0, dtype=np.int64))
-    base = 257
-    pw = pow(base, window - 1, prime)
     enc = texts.str.encode("utf-8")
     lens = enc.str.len().to_numpy(np.int64)
-    joined = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8).astype(np.int64)
+    out = np.empty(n, dtype=np.int64)
+    order = np.argsort(lens, kind="stable")
+    cell_budget = 16 << 20  # int64 cells per padded matrix (~128 MB)
+    start = 0
+    while start < n:
+        stop = start + 1
+        # ascending lengths: chunk max_len = last element's length
+        while stop < n and (stop + 1 - start) * max(int(lens[order[stop]]), 1) <= cell_budget:
+            stop += 1
+        idx = order[start:stop]
+        out[idx] = _fingerprint_chunk(
+            enc.iloc[idx].tolist(), lens[idx], window, prime
+        )
+        start = stop
+    return pd.Series(out)
+
+
+def _fingerprint_chunk(
+    enc: list, lens: np.ndarray, window: int, prime: int
+) -> np.ndarray:
+    """One padded-matrix pass over a length-bucketed chunk (see fingerprint_np)."""
+    n = len(enc)
+    base = 257
+    pw = pow(base, window - 1, prime)
+    joined = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.int64)
     length = max(int(lens.max()), 1)
     mat = np.zeros((n, length), dtype=np.int64)
     mat[np.arange(length)[None, :] < lens[:, None]] = joined  # row-major fill
@@ -137,8 +164,7 @@ def fingerprint_np(texts: pd.Series, window: int = 8, prime: int = 1_000_000_007
         else:
             h = ((h - mat[:, j - window] * pw) * base + col) % prime
             np.minimum(best, np.where(lens > j, h, prime), out=best)
-    out = np.where(lens < window, mat.sum(axis=1) % prime, best)
-    return pd.Series(out.astype(np.int64))
+    return np.where(lens < window, mat.sum(axis=1) % prime, best).astype(np.int64)
 
 
 def _fingerprint_batch(text: pd.Series) -> pd.Series:

@@ -236,14 +236,13 @@ def connected_components(
 
     The dedup-cluster step: near-dup candidate pairs become components, the
     minimum doc id is the canonical cluster id (= keeper). Each iteration is
-    ONE hash join + min-aggregate over the edge list (label propagation);
-    converges in O(component diameter) rounds — near-dup clusters are
-    cliques-ish, so 2-3 rounds in practice. Deterministic fixpoint (exact
-    min per component), verified against a DuckDB recursive CTE.
-
-    At 100 TB scale this is the standard alternating-min-label CC; a
-    large-star/small-star variant would cut rounds on pathological chains,
-    but candidate graphs from banded LSH have tiny diameters.
+    one hash join + min-aggregate (neighbor label propagation) PLUS one
+    pointer-doubling jump (label ← label(label)) — the doubling halves path
+    lengths each round, so a diameter-d chain converges in O(log d) rounds
+    instead of O(d) (templated page chains no longer exhaust max_iters;
+    2^max_iters diameter is unreachable). Deterministic fixpoint (exact min
+    per component — both steps are monotone non-increasing and preserve the
+    component-min invariant), verified against a DuckDB recursive CTE.
     """
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -255,12 +254,24 @@ def connected_components(
         nbr = und.join(labels, und.b == labels.node).select(
             F.col("a").alias("node"), "label"
         )
-        new = (
+        prop = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        # pointer doubling: every label IS a node id (labels start as node
+        # ids and min() only keeps existing ids), so label(label(v)) is a
+        # self-join (renamed columns — same-object alias self-joins trip
+        # Spark's attribute resolution here).
+        parent = prop.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            prop.join(parent, F.col("label") == F.col("p_node"))
+            .groupBy("node")
+            .agg(F.min("p_label").alias("label"))
+        )
+        new = jumped.localCheckpoint(eager=True)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "node")

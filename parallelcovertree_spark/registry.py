@@ -291,10 +291,14 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 FROM documents GROUP BY text""",
 )
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on content; keeper = lowest doc_id."""
+    """Exact dedup: hash-groupBy on a sha2-256 content digest; keeper =
+    lowest doc_id. Grouping by the 32-byte digest instead of the raw text
+    shuffles 64 hex chars per row, not the corpus — the partition of rows is
+    identical (collision-safe digest), so the plain GROUP BY text oracle
+    still matches value-for-value."""
     return (
         _docs(spark, sf_dir)
-        .groupBy("text")
+        .groupBy(F.sha2(F.col("text"), 256).alias("digest"))
         .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
         .select("keeper_id", "n_copies")
     )
@@ -987,14 +991,15 @@ def cell_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_idx FROM documents",
 )
 def global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY W1: deterministic global index from a stable sort (the
-    MPI_Exscan offset-assignment analog, DistCoverTree.cpp:27-31)."""
-    from pyspark.sql import Window as W
+    """SURVEY W1: deterministic global index from a stable sort — the
+    MPI_Exscan offset-assignment analog (DistCoverTree.cpp:27-31), computed
+    as a two-pass prefix sum (range-partitioned parallel sort + broadcast
+    offsets), NOT a single-partition ROW_NUMBER window."""
+    from parallelcovertree_spark.operators.indexing import global_row_index
 
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.row_number().over(W.orderBy("n_chars", "doc_id")).alias("global_idx"),
-    )
+    return global_row_index(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"), ["n_chars", "doc_id"]
+    ).select("doc_id", "global_idx")
 
 
 @_register(

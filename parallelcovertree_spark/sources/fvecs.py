@@ -75,8 +75,17 @@ def read_points_spark(spark: SparkSession, path: str, fmt: str = "fvecs") -> Dat
         return spark.createDataFrame([], "id long, x float, y float")
     if fmt == "fvecs":
         # dim from the first record of the first file (constant per dataset —
-        # the per-record framing repeats it; decode re-checks every file)
-        head = bytes(files.orderBy("path").select("content").limit(1).collect()[0].content[:4])
+        # decode ASSERTS it per file). Only the 4 header bytes cross to the
+        # driver (substring pushed into the scan), never the file content.
+        from pyspark.sql import functions as F
+
+        head = bytes(
+            files.orderBy("path")
+            .select(F.substring("content", 1, 4).alias("h"))
+            .limit(1)
+            .collect()[0]
+            .h
+        )
         dim = int(np.frombuffer(head, dtype=np.int32)[0])
         rec_bytes = 4 * (1 + dim)
         counts = [r.length // rec_bytes for r in meta]
@@ -96,6 +105,11 @@ def read_points_spark(spark: SparkSession, path: str, fmt: str = "fvecs") -> Dat
                 raw = np.frombuffer(content, dtype=np.uint8)
                 if fmt == "fvecs":
                     fdim = int(np.frombuffer(raw[:4].tobytes(), dtype=np.int32)[0])
+                    if fdim != dim:
+                        raise ValueError(
+                            f"mixed-dim fvecs directory: {fpath} has dim={fdim}, "
+                            f"expected {dim} (global ids assume one dim)"
+                        )
                     recs = raw.reshape(-1, 4 * (1 + fdim))
                     xy = np.ascontiguousarray(recs[:, 4:]).view(np.float32).reshape(-1, fdim)
                 else:  # snn

@@ -1,0 +1,103 @@
+"""Scale-safety plan assertions (VERDICT r2 'wrong' #2/#3 + ADVICE items).
+
+These tests pin PLAN SHAPE, not just answers: the properties that decide
+whether an operator survives 100 TB — no single-partition global sort, no
+full-document shuffle keys, log-round connected components.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from parallelcovertree_spark.operators.dedup import connected_components
+from parallelcovertree_spark.operators.indexing import global_row_index
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_global_index_matches_window_and_avoids_global_sort(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "n_chars")
+    out = global_row_index(docs, ["n_chars", "doc_id"])
+    got = out.orderBy("global_idx").toPandas()
+
+    from pyspark.sql import Window as W
+
+    want = docs.select(
+        "doc_id", "n_chars",
+        F.row_number().over(W.orderBy("n_chars", "doc_id")).alias("global_idx"),
+    ).orderBy("global_idx").toPandas()
+    want["global_idx"] = want["global_idx"].astype(np.int64)  # window rank is int32
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_chars", "global_idx"]], want[["doc_id", "n_chars", "global_idx"]]
+    )
+
+    # plan shape: the prefix-sum path must never window-sort in one partition
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan.lower() or "FlatMapGroups" in plan or "MapInPandas" in plan
+
+
+def test_global_index_parallelism_invariance(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "n_chars")
+    a = global_row_index(docs.repartition(1), ["n_chars", "doc_id"]).orderBy("global_idx").toPandas()
+    b = global_row_index(docs.repartition(7), ["n_chars", "doc_id"]).orderBy("global_idx").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_exact_dedup_shuffles_digest_not_text(spark, monkeypatch):
+    import __spark_entry__ as entry
+
+    df = entry.queries()["exact_dedup"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    # the aggregate's shuffle key must be the sha2 digest, never raw text
+    assert "sha2" in plan
+    low = plan.lower()
+    part = low.split("hashpartitioning", 1)
+    assert len(part) == 2, plan
+    key_segment = part[1][:200]
+    # the shuffled key is the projected digest expression, never the raw text
+    assert "_groupingexpression" in key_segment or "digest" in key_segment
+    assert "text#" not in key_segment
+
+
+def test_connected_components_long_chain_converges_log_rounds(spark):
+    # diameter-200 chain: plain min-label needs ~200 rounds; pointer doubling
+    # must converge within the default max_iters (log2(200) ≈ 8).
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long"
+    )
+    labels = connected_components(edges, max_iters=12)
+    got = {r.node: r.label for r in labels.collect()}
+    assert got == {i: 0 for i in range(201)}
+
+
+def test_fingerprint_bucketing_handles_skewed_lengths():
+    from parallelcovertree_spark.functions.text import fingerprint_np
+
+    # one 2 MB doc among tiny docs: padded matrix must bucket, output unchanged
+    texts = ["tiny doc %d" % i for i in range(1000)] + ["z" * (2 << 20)]
+    out = fingerprint_np(pd.Series(texts))
+    assert len(out) == 1001
+    # per-row function: permutation invariance proves bucketing didn't mix rows
+    perm = np.random.RandomState(7).permutation(1001)
+    out2 = fingerprint_np(pd.Series([texts[i] for i in perm]))
+    assert (out2.to_numpy() == out.to_numpy()[perm]).all()
+
+
+def test_fvecs_mixed_dim_directory_raises(spark, tmp_path):
+    from parallelcovertree_spark.sources.fvecs import read_points_spark, write_fvecs
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    write_fvecs(str(d / "a.fvecs"), np.random.RandomState(0).randn(10, 2).astype(np.float32))
+    write_fvecs(str(d / "b.fvecs"), np.random.RandomState(1).randn(10, 3).astype(np.float32))
+    with pytest.raises(Exception, match="mixed-dim"):
+        read_points_spark(spark, str(d)).collect()

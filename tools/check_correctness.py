@@ -39,8 +39,15 @@ def canon(df: pd.DataFrame) -> tuple[pd.DataFrame, str | None]:
     for c in df.columns:
         if df[c].dtype == object and df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
             return df, f"column {c!r} holds list values (driver canonicalizer throws)"
+    # Sort on ROUNDED float keys: sub-tolerance (<5e-10) engine differences
+    # must not reorder rows and misalign the positional per-column compare.
+    keys = df.copy()
+    for c in keys.columns:
+        if pd.api.types.is_float_dtype(keys[c].dtype):
+            keys[c] = keys[c].round(9)
     try:
-        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+        order = keys.sort_values(list(keys.columns), kind="mergesort").index
+        df = df.loc[order].reset_index(drop=True)
     except TypeError as e:  # pragma: no cover - same failure the driver hits
         return df, f"sort_values failed: {e}"
     return df, None

@@ -504,6 +504,7 @@ def knn_join_block_kernel(
     max_rounds: int = 5,
     queries: DataFrame | None = None,
     query_id_col: str = "id",
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Exact kNN via per-BLOCK numpy kernels — the pipe-lean evolution of
     ``knn_join_grid_kernel``.
@@ -520,9 +521,12 @@ def knn_join_block_kernel(
     doubled radius, broadcast fallback).
 
     ``queries`` switches to the two-table form (queries × corpus): query
-    rows ship to their own block only (the corpus halo brings their ring),
-    are never candidates, and a corpus point sharing a query's id is
-    excluded (so querying the corpus with itself equals the self-join).
+    rows ship to their own block only (the corpus halo brings their ring)
+    and are never candidates. By default a corpus point sharing a query's id
+    is excluded (so querying the corpus with itself equals the self-join);
+    pass ``exclude_same_id=False`` for genuinely disjoint tables whose id
+    spaces may collide — then a corpus point with the query's id is a valid
+    neighbor. Self-join mode always excludes the point itself.
     """
     import pandas as pd
     import pyarrow as pa
@@ -545,6 +549,9 @@ def knn_join_block_kernel(
             F.col(y).cast("double").alias("py"),
         ).persist()
     r = float(r0) if r0 is not None else estimate_radius(base, k + 1, "px", "py")
+    # self-join always masks the point's own row; two-table masks colliding
+    # ids only when exclude_same_id (the default = "queries ⊆ corpus")
+    mask_same = qbase is None or exclude_same_id
     brute_pair_budget = 200_000_000
     spark = base.sparkSession
     parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 16)
@@ -673,7 +680,7 @@ def knn_join_block_kernel(
                         crows = np.arange(b0 + ustart[ci], b0 + uend[ci])[cm]
                         if not len(crows):
                             continue
-                        if len(cand_idx) <= k:
+                        if len(cand_idx) < (k + 1 if mask_same else k):
                             fail_src.append(ids[crows])
                             continue
                         cxy = xy[crows]
@@ -681,7 +688,8 @@ def knn_join_block_kernel(
                         axy = xy[cand_idx]
                         aid = ids[cand_idx]
                         d2 = ((cxy[:, None, :] - axy[None, :, :]) ** 2).sum(axis=2)
-                        d2[cid[:, None] == aid[None, :]] = np.inf
+                        if mask_same:
+                            d2[cid[:, None] == aid[None, :]] = np.inf
                         within = d2 <= r2
                         okc = within.sum(axis=1) >= k
                         if not okc.all():
@@ -748,7 +756,9 @@ def knn_join_block_kernel(
             strag = qsrc.join(F.broadcast(unresolved_ids), qsrc.pid == F.col("src")).select(
                 F.col("pid").alias("q"), F.col("px").alias("qx"), F.col("py").alias("qy")
             )
-            cand = F.broadcast(strag).join(base, F.col("q") != F.col("pid"))
+            cand = F.broadcast(strag).join(
+                base, F.col("q") != F.col("pid") if mask_same else F.lit(True)
+            )
             d2 = ((F.col("qx") - F.col("px")) ** 2 + (F.col("qy") - F.col("py")) ** 2)
             w = Window.partitionBy("q").orderBy(d2.asc(), F.col("pid").asc())
             results.append(

@@ -67,9 +67,9 @@ class CoverTreeModel:
 def _collect_farthest(state: DataFrame) -> list:
     """SURVEY A1: per-hub argmax (partial agg map-side, final agg reduce-side
     — Catalyst's automatic partial aggregation is the MPI_Allreduce analog).
-    Per-hub active counts ride along in the same job — they feed the
-    load-imbalance cutoff for free (the reference's get_hub_counts is a
-    separate Allreduce, DistCoverTree.cpp:45-83)."""
+    Kept as the DataFrame-native reference op; the build loop computes the
+    same argmax via ``_hub_argmax_np`` partials over executor-resident blocks
+    (see the 'executor-resident global phase' note below)."""
     best = F.max_by(
         F.struct(F.col("pid"), F.col("x"), F.col("y"), F.col("dist")),
         F.struct(F.col("dist"), (-F.col("pid")).alias("neg")),
@@ -80,6 +80,276 @@ def _collect_farthest(state: DataFrame) -> list:
         .agg(best, F.count(F.lit(1)).alias("n_active"))
         .collect()
     )
+
+
+# --- executor-resident global phase -------------------------------------------
+# The global phase is inherently iterative with a tiny per-round result (one
+# argmax row per hub — the reference's custom MPI_Allreduce,
+# DistCoverTree.cpp:175-208) over a LARGE resident state that each round
+# mutates in place (leaf deactivation / split re-homing / chain-tail
+# nearest-update). Re-expressing every round as a DataFrame transform pays an
+# Arrow round-trip (or a per-row literal-map scan) over the full corpus per
+# round; the reference instead keeps the state resident in rank memory across
+# iterations (DistCoverTree.cpp:85-130). The Spark analog is a PERSISTED RDD
+# of per-partition numpy blocks: one narrow job per round applies the pending
+# ops and returns per-hub argmax partials — state never leaves the executors,
+# nothing shuffles, and the collect is O(hubs) rows. This is the one operator
+# in the engine where the RDD escape hatch is the honest design (imperative
+# per-partition iteration); every query operator stays DataFrame-native.
+
+_STATE_COLS = ("pid", "x", "y", "dist", "hub_vtx", "hub_pt", "leaf_parent")
+_STATE_SCHEMA = (
+    "pid long, x float, y float, dist double, hub_vtx long, hub_pt long, "
+    "leaf_parent long"
+)
+
+
+def _df_to_blocks(state: DataFrame, tmp_dir: str):
+    """state DF → persisted RDD[(None, block)] via a parquet bounce: each
+    task reads exactly one partition file with pyarrow (no per-row Python).
+    Files are deleted right after the blocks materialize.
+
+    The block count sets the global phase's parallelism for the REST of the
+    build (each round is one task per block), so a degenerate input
+    partitioning (e.g. a broadcast-crossJoin pipeline that never shuffled —
+    1 partition for 1M rows) is repaired here: widen to defaultParallelism.
+    Many-partition inputs are left alone — at cluster scale partitions
+    track data size."""
+    import glob
+    import shutil
+    import uuid
+
+    spark = state.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if state.rdd.getNumPartitions() < target:
+        state = state.repartition(target)
+    path = os.path.join(tmp_dir, f"covergrid-state-{uuid.uuid4().hex}")
+    state.write.parquet(path)
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+    def read_file(paths):
+        import pyarrow.parquet as pq
+
+        for p in paths:
+            t = pq.read_table(p)
+            blk = {
+                "pid": t["pid"].to_numpy().astype(np.int64),
+                "x": t["x"].to_numpy().astype(np.float32),
+                "y": t["y"].to_numpy().astype(np.float32),
+                "dist": t["dist"].to_numpy().astype(np.float64),
+                "hub_vtx": t["hub_vtx"].to_numpy().astype(np.int64),
+                "hub_pt": t["hub_pt"].to_numpy().astype(np.int64),
+                "leaf_parent": t["leaf_parent"].to_numpy().astype(np.int64),
+            }
+            yield (None, blk)
+
+    from pyspark import StorageLevel
+
+    rdd = (
+        spark.sparkContext.parallelize(files, max(1, len(files)))
+        .mapPartitions(read_file)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rdd.count()  # materialize before deleting the bounce files
+    shutil.rmtree(path, ignore_errors=True)
+    return rdd
+
+
+def _apply_ops_np(blk: dict, ops: dict) -> dict:
+    """One reference round on a numpy block, same op order as the reference
+    iteration: leaf deactivation → split re-homing → chain-tail
+    nearest-update (CoverTree.cpp:181-322). Distances: float32 storage,
+    float64 math, explicit products (bit-stable, Point.cpp:27-38)."""
+    hub = blk["hub_vtx"].copy()
+    hub_pt = blk["hub_pt"].copy()
+    dist = blk["dist"].copy()
+    leaf_parent = blk["leaf_parent"].copy()
+    x = blk["x"].astype(np.float64)
+    y = blk["y"].astype(np.float64)
+    if len(ops["leaves"]):
+        m = np.isin(hub, ops["leaves"])
+        leaf_parent[m] = hub[m]
+        dist[m] = 0.0
+        hub[m] = -1
+        hub_pt[m] = -1
+    if len(ops["split_hubs"]):
+        m = np.isin(hub, ops["split_hubs"])
+        if m.any():
+            sp = ops["split_pids"]
+            idx = np.minimum(np.searchsorted(sp, hub_pt[m]), len(sp) - 1)
+            if not np.array_equal(sp[idx], hub_pt[m]):
+                raise AssertionError("split re-home: hub_pt not a chain member")
+            hub[m] = ops["split_vids"][idx]
+    if len(ops["tail_hubs"]):
+        th = ops["tail_hubs"]
+        pos = np.minimum(np.searchsorted(th, hub), len(th) - 1)
+        has = (hub >= 0) & (th[pos] == hub)
+        dx = x - ops["tail_x"][pos]
+        dy = y - ops["tail_y"][pos]
+        dc = np.sqrt(dx * dx + dy * dy)
+        upd = has & (dc <= dist)
+        dist[upd] = dc[upd]
+        hub_pt[upd] = ops["tail_pids"][pos][upd]
+    return {
+        "pid": blk["pid"], "x": blk["x"], "y": blk["y"], "dist": dist,
+        "hub_vtx": hub, "hub_pt": hub_pt, "leaf_parent": leaf_parent,
+    }
+
+
+def _hub_argmax_np(blk: dict):
+    """Per-hub (farthest dist, lowest-pid tie-break) + active count for this
+    block — the map-side partial of the reference's custom argmax reduction
+    (strict > ⇒ lowest point id, CoverTree.cpp:117)."""
+    act = blk["hub_vtx"] >= 0
+    if not act.any():
+        return []
+    hub = blk["hub_vtx"][act]
+    d = blk["dist"][act]
+    pid = blk["pid"][act]
+    x = blk["x"][act]
+    y = blk["y"][act]
+    order = np.lexsort((pid, -d, hub))  # hub ASC, dist DESC, pid ASC
+    hub_s = hub[order]
+    starts = np.flatnonzero(np.r_[True, hub_s[1:] != hub_s[:-1]])
+    sizes = np.diff(np.r_[starts, len(hub_s)])
+    top = order[starts]
+    return list(zip(
+        hub[top].tolist(), pid[top].tolist(),
+        x[top].astype(np.float64).tolist(), y[top].astype(np.float64).tolist(),
+        d[top].tolist(), sizes.tolist(),
+    ))
+
+
+def _sorted_ops(ops: dict) -> dict:
+    """Sort op arrays for the kernel's searchsorted lookups."""
+    leaves = np.sort(np.asarray(ops["leaves"], dtype=np.int64))
+    sp = np.asarray(ops["split_pids"], dtype=np.int64)
+    sv = np.asarray(ops["split_vids"], dtype=np.int64)
+    so = np.argsort(sp)
+    th = np.asarray(ops["tail_hubs"], dtype=np.int64)
+    to = np.argsort(th)
+    return {
+        "leaves": leaves,
+        "split_hubs": np.sort(np.asarray(ops["split_hubs"], dtype=np.int64)),
+        "split_pids": sp[so],
+        "split_vids": sv[so],
+        "tail_hubs": th[to],
+        "tail_pids": np.asarray(ops["tail_pids"], dtype=np.int64)[to],
+        "tail_x": np.asarray(ops["tail_x"], dtype=np.float64)[to],
+        "tail_y": np.asarray(ops["tail_y"], dtype=np.float64)[to],
+    }
+
+
+class _BlockRounds:
+    """Executor-resident round driver with an OP LOG.
+
+    A round must apply the previous round's ops and return the fresh per-hub
+    argmax — but it does NOT need to write the applied state anywhere: ops
+    are tiny (O(hubs) rows) and their application is vectorized, so each
+    round's job re-reads the persisted BASE blocks and replays the broadcast
+    op log up to the current round. That halves the per-round serialization
+    (no Python→JVM block write-back, no re-persist) — the dominant cost at
+    1M rows. Every ``compact_every`` rounds the replayed state is persisted
+    as the new base and the log cleared, bounding replay cost; this mirrors
+    the reference's in-place rank state (DistCoverTree.cpp:85-130) with
+    checkpoint-interval durability."""
+
+    def __init__(self, sc, blocks, compact_every: int = 24):
+        self.sc = sc
+        self.base = blocks          # persisted RDD[(None, blk)]
+        self._tuple_rdd = None      # persisted (partials, blk) backing base
+        # op log: plain _sorted_ops dicts. Each entry is O(active hubs) int64
+        # rows, so the whole log is ~100KB — shipped inside the job closure
+        # (serialized once per job), no broadcast lifecycle to manage.
+        self.log: list = []
+        self.compact_every = compact_every
+
+    def round(self, new_ops: dict | None):
+        """ONE Spark job: replay log (+ new_ops) over base, return merged
+        (far, counts). Compacts (persists the applied state as the new base)
+        only when the log is long — replay of tiny vectorized ops is cheaper
+        than re-serializing the full state every round."""
+        from pyspark import StorageLevel
+
+        if new_ops is not None:
+            self.log.append(_sorted_ops(new_ops))
+        log = list(self.log)
+
+        if len(log) >= self.compact_every:
+            def f(it_blocks):
+                for _p, blk in it_blocks:
+                    for ops in log:
+                        blk = _apply_ops_np(blk, ops)
+                    yield (_hub_argmax_np(blk), blk)
+
+            new = self.base.mapPartitions(f, preservesPartitioning=True).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            new.localCheckpoint()  # bound lineage depth across compactions
+            partials = new.map(lambda t: t[0]).collect()
+            self._unpersist()
+            self._tuple_rdd = new
+            self.base = new.map(lambda t: (None, t[1]))
+            self.log = []
+        else:
+            def g(it_blocks):
+                for _p, blk in it_blocks:
+                    for ops in log:
+                        blk = _apply_ops_np(blk, ops)
+                    yield _hub_argmax_np(blk)
+
+            partials = self.base.mapPartitions(g, preservesPartitioning=True).collect()
+
+        far: dict[int, tuple] = {}
+        counts: dict[int, int] = {}
+        for part in partials:
+            for h, pid, px, py, d, cnt in part:
+                counts[h] = counts.get(h, 0) + cnt
+                cur = far.get(h)
+                # reference argmax merge: strict > on dist, tie → lowest pid
+                if cur is None or d > cur[3] or (d == cur[3] and pid < cur[0]):
+                    far[h] = (pid, px, py, d)
+        return far, counts
+
+    def write_applied(self, path: str) -> int:
+        """ONE job: replay the log over base and land the applied state as
+        parquet part files (no intermediate compaction pass, no write-back
+        serialization). The log is kept — base is unchanged, so a build that
+        continues after a mid-loop checkpoint keeps replaying correctly."""
+        log = list(self.log)
+        os.makedirs(path, exist_ok=True)
+
+        def w(split, it_blocks):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            for _p, blk in it_blocks:
+                for ops in log:
+                    blk = _apply_ops_np(blk, ops)
+                t = pa.table({c: blk[c] for c in _STATE_COLS})
+                pq.write_table(t, os.path.join(path, f"part-{split:05d}.parquet"))
+                yield 1
+
+        return self.base.mapPartitionsWithIndex(w).count()
+
+    def _unpersist(self):
+        if self._tuple_rdd is not None:
+            self._tuple_rdd.unpersist()
+            self._tuple_rdd = None
+        else:
+            self.base.unpersist()
+
+    def release(self):
+        self._unpersist()
+        self.log = []
+
+
+_TRACE = os.environ.get("COVERGRID_TRACE", "") != ""
+
+
+def _trace(label: str, t0: float) -> None:
+    if _TRACE:
+        print(f"    [build:{label}] {time.time() - t0:.2f}s", flush=True)
 
 
 def build_cover_tree(
@@ -138,24 +408,46 @@ def build_cover_tree(
         root = pts.orderBy("pid").limit(1).collect()[0]
         root_pid = int(root.pid)
         rx, ry = float(root.x), float(root.y)
+        dx0 = F.col("x").cast("double") - F.lit(rx)
+        dy0 = F.col("y").cast("double") - F.lit(ry)
+        # NOT checkpointed: the only materialization is the block bounce
+        # below; max_radius comes from block partials (one cached-RDD job)
         state = pts.select(
             "pid", "x", "y",
-            F.sqrt(
-                (F.col("x").cast("double") - F.lit(rx)) ** 2
-                + (F.col("y").cast("double") - F.lit(ry)) ** 2
-            ).alias("dist"),
+            # explicit products (not pow): bit-identical to the numpy kernel
+            F.sqrt(dx0 * dx0 + dy0 * dy0).alias("dist"),
             F.lit(0).cast("long").alias("hub_vtx"),
             F.lit(root_pid).cast("long").alias("hub_pt"),
             F.lit(-1).cast("long").alias("leaf_parent"),
-        ).localCheckpoint(eager=True)
-        max_radius = float(state.agg(F.max("dist")).collect()[0][0] or 0.0)
+        )
+        max_radius = None  # derived from blocks below
         verts = [(0, root_pid, -1, 0)]
         vlevel = {0: 0}
         chains: dict[int, list[int]] = {0: [root_pid]}
         coords: dict[int, tuple[float, float]] = {root_pid: (rx, ry)}
 
+    # temp dir for the state parquet bounce (tmpfs when configured)
+    try:
+        tmp_dir = spark.conf.get("spark.local.dir") or "/tmp"
+    except Exception:
+        tmp_dir = "/tmp"
+    sc = spark.sparkContext
+    t0 = time.time()
+    rounds = _BlockRounds(sc, _df_to_blocks(state, tmp_dir))
+    _trace("df->blocks", t0)
+    if max_radius is None:
+        t0 = time.time()
+        max_radius = float(max(
+            rounds.base.map(
+                lambda t: float(t[1]["dist"].max()) if len(t[1]["dist"]) else float("-inf")
+            ).max(),
+            0.0,
+        ))
+        _trace("max_radius", t0)
+
     if max_radius == 0.0:
         # degenerate: all points coincide → every point is a leaf under root
+        rounds.release()
         leafs = state.select(
             (F.lit(LEAF_VID_BASE) + F.col("pid")).alias("vertex_id"),
             F.col("pid").alias("point_id"),
@@ -166,145 +458,94 @@ def build_cover_tree(
         return CoverTreeModel(base, 0.0, root_pid, top, None, points, [],
                               _metrics_df(spark, metrics), 0, True)
 
+    pending: dict | None = None  # last round's decisions, applied lazily
+    bounce_dirs: list[str] = []  # applied-state parquet dirs, removed at end
+
+    def _flush_state():
+        """Apply pending + logged ops in one job, land the state as parquet,
+        and point `state` at a LAZY read of it (consumers scan the files;
+        no extra materialization pass)."""
+        nonlocal pending, state
+        import uuid
+
+        if pending is not None:
+            rounds.log.append(_sorted_ops(pending))
+            pending = None
+        path = os.path.join(tmp_dir, f"covergrid-flush-{uuid.uuid4().hex}")
+        rounds.write_applied(path)
+        bounce_dirs.append(path)
+        state = spark.read.parquet(path)
+
     while chains and (max_iters is None or it < max_iters):
         if hub_cutoff is not None and len(chains) >= hub_cutoff:
             break
         t0 = time.time()
-        far = _collect_farthest(state)  # job: materializes current state
+        far, counts = rounds.round(pending)
+        pending = None
+        if not far:
+            break  # no active rows left
 
-        if hub_cutoff is not None and imbalance_target is not None and len(far) > 1:
-            mx = max(int(row.n_active) for row in far)
-            tot = sum(int(row.n_active) for row in far)
+        if hub_cutoff is not None and imbalance_target is not None and len(counts) > 1:
+            mx = max(counts.values())
+            tot = sum(counts.values())
             if n_parts * mx / tot <= imbalance_target:
                 break  # balanced enough: finish every hub in the local phase
         it += 1
 
         # --- driver: update hub chains (CoverTree.cpp:133-179) -------------
-        leaf_set: list[int] = []
-        split_rows: list[tuple[int, int]] = []   # (member_pid, new_vid)
-        tails: list[tuple[int, int, float, float]] = []  # (hub, tail_pid, x, y)
-        n_ext = 0
-        for row in far:
-            hub = int(row.hub_vtx)
-            fpid, fx, fy, fd = int(row.far.pid), float(row.far.x), float(row.far.y), float(row.far.dist)
+        ops = {"leaves": [], "split_hubs": [], "split_pids": [], "split_vids": [],
+               "tail_hubs": [], "tail_pids": [], "tail_x": [], "tail_y": []}
+        n_ext = n_leaf = n_split_verts = 0
+        for hub in sorted(far):
+            fpid, fx, fy, fd = far[hub]
             fdn = fd / max_radius
             ball = base ** (-1.0 * vlevel[hub])
             if fdn == 0.0:
-                leaf_set.append(hub)
+                ops["leaves"].append(hub)
                 del chains[hub]
+                n_leaf += 1
             elif fdn <= ball / base:
                 for member in chains[hub]:
                     vid = len(verts)
                     verts.append((vid, member, hub, vlevel[hub] + 1))
                     vlevel[vid] = vlevel[hub] + 1
                     chains[vid] = [member]
-                    mx, my = coords[member]
-                    tails.append((vid, member, mx, my))
-                    split_rows.append((member, vid))
+                    mx_, my_ = coords[member]
+                    ops["split_pids"].append(member)
+                    ops["split_vids"].append(vid)
+                    ops["tail_hubs"].append(vid)
+                    ops["tail_pids"].append(member)
+                    ops["tail_x"].append(mx_)
+                    ops["tail_y"].append(my_)
+                    n_split_verts += 1
+                ops["split_hubs"].append(hub)
                 del chains[hub]
             else:
                 chains[hub].append(fpid)
                 coords[fpid] = (fx, fy)
-                tails.append((hub, fpid, fx, fy))
+                ops["tail_hubs"].append(hub)
+                ops["tail_pids"].append(fpid)
+                ops["tail_x"].append(fx)
+                ops["tail_y"].append(fy)
                 n_ext += 1
-
-        # --- one state transform: leaves → splits → dist update ------------
-        s = state
-        if leaf_set:
-            is_leaf = F.col("hub_vtx").isin(leaf_set)
-            s = s.select(
-                "pid", "x", "y",
-                F.when(is_leaf, F.lit(0.0)).otherwise(F.col("dist")).alias("dist"),
-                F.when(is_leaf, F.lit(-1).cast("long")).otherwise(F.col("hub_vtx")).alias("hub_vtx"),
-                F.when(is_leaf, F.lit(-1).cast("long")).otherwise(F.col("hub_pt")).alias("hub_pt"),
-                F.when(is_leaf, F.col("hub_vtx")).otherwise(F.col("leaf_parent")).alias("leaf_parent"),
-            )
-        # per-iteration maps are tiny (≤ active hubs / chain members), so they
-        # inline as literal create_map expressions — pure codegen lookups, no
-        # broadcast-exchange build/ship latency (~0.2s each per iteration,
-        # measured: this was most of the per-iteration wall time). The
-        # broadcast-join form is kept for oversized bursts.
-        if split_rows:
-            if len(split_rows) <= 4096:
-                smap = F.create_map(
-                    *[F.lit(v) for pid_vid in split_rows for v in pid_vid]
-                )
-                new_vid = F.when(F.col("hub_vtx") >= 0, smap[F.col("hub_pt")])
-                s = s.select(
-                    "pid", "x", "y", "dist",
-                    F.coalesce(new_vid, F.col("hub_vtx")).alias("hub_vtx"),
-                    "hub_pt", "leaf_parent",
-                )
-            else:
-                sdf = spark.createDataFrame(split_rows, "m_pid long, new_vid long")
-                s = (
-                    s.join(F.broadcast(sdf),
-                           (F.col("hub_pt") == F.col("m_pid")) & (F.col("hub_vtx") >= 0),
-                           "left")
-                    .select(
-                        "pid", "x", "y", "dist",
-                        F.coalesce("new_vid", "hub_vtx").alias("hub_vtx"),
-                        "hub_pt", "leaf_parent",
-                    )
-                )
-        if tails:
-            if len(tails) <= 4096:
-                tmap = F.create_map(*[
-                    v
-                    for (hub, tpid, tx, ty) in tails
-                    for v in (
-                        F.lit(hub),
-                        F.struct(
-                            F.lit(tpid).alias("t_pid"),
-                            F.lit(tx).alias("tx"),
-                            F.lit(ty).alias("ty"),
-                        ),
-                    )
-                ])
-                t = tmap[F.col("hub_vtx")]
-                cur = F.sqrt(
-                    (F.col("x").cast("double") - t["tx"]) ** 2
-                    + (F.col("y").cast("double") - t["ty"]) ** 2
-                )
-                upd = t.isNotNull() & (cur <= F.col("dist"))
-                s = s.select(
-                    "pid", "x", "y",
-                    F.when(upd, cur).otherwise(F.col("dist")).alias("dist"),
-                    "hub_vtx",
-                    F.when(upd, t["t_pid"]).otherwise(F.col("hub_pt")).alias("hub_pt"),
-                    "leaf_parent",
-                )
-            else:
-                tdf = spark.createDataFrame(tails, "t_hub long, t_pid long, tx double, ty double")
-                cur = F.sqrt(
-                    (F.col("x").cast("double") - F.col("tx")) ** 2
-                    + (F.col("y").cast("double") - F.col("ty")) ** 2
-                )
-                upd = F.col("t_hub").isNotNull() & (cur <= F.col("dist"))
-                s = (
-                    s.join(F.broadcast(tdf), F.col("hub_vtx") == F.col("t_hub"), "left")
-                    .select(
-                        "pid", "x", "y",
-                        F.when(upd, cur).otherwise(F.col("dist")).alias("dist"),
-                        "hub_vtx",
-                        F.when(upd, F.col("t_pid")).otherwise(F.col("hub_pt")).alias("hub_pt"),
-                        "leaf_parent",
-                    )
-                )
-        # localCheckpoint: cut lineage every iteration (iterative plans grow
-        # superlinearly otherwise); eager=False → materialized by next job
-        state = s.localCheckpoint(eager=False)
+        pending = ops
 
         metrics.append({
-            "iter": it, "n_hubs": len(chains), "n_leaf_hubs": len(leaf_set),
-            "n_split_verts": len(split_rows), "n_extended": n_ext,
+            "iter": it, "n_hubs": len(chains), "n_leaf_hubs": n_leaf,
+            "n_split_verts": n_split_verts, "n_extended": n_ext,
             "duration_ms": int((time.time() - t0) * 1000),
-            "n_partitions": state.rdd.getNumPartitions(),
+            "n_partitions": rounds.base.getNumPartitions(),
         })
 
         if checkpoint_dir and (it % checkpoint_every == 0 or not chains):
+            _flush_state()
             _write_checkpoint(checkpoint_dir, state, it, base, max_radius,
                               root_pid, verts, vlevel, chains, coords, metrics)
+
+    t0 = time.time()
+    _flush_state()  # trailing ops → final state DataFrame
+    rounds.release()
+    _trace("flush", t0)
 
     # --- local phase (DistCoverTree.cpp:814-934 analog) ---------------------
     local_trees = None
@@ -344,14 +585,17 @@ def build_cover_tree(
                 "lmax_radius": np.full(len(t.pt), t.max_radius, dtype=np.float64),
             })
 
+        t0 = time.time()
         local_trees = (
             active.withColumn("_is_root", F.col("pid") == F.col("h_pid"))
             .groupBy("hub_vtx")
             .applyInPandas(build_group, LOCAL_TREE_SCHEMA)
             .localCheckpoint(eager=True)
         )
+        _trace("local_trees", t0)
 
     # --- assemble top-tree vertex table --------------------------------------
+    t0 = time.time()
     top = _vertices_df(spark, verts)
     lvl_map = spark.createDataFrame(
         [(v, l) for v, l in vlevel.items()], "lv_vid long, lv_level long"
@@ -367,6 +611,13 @@ def build_cover_tree(
         )
     )
     vertices = top.unionByName(leafs).localCheckpoint(eager=True)
+    _trace("vertices", t0)
+
+    # local_trees + vertices are materialized → the state bounce files are dead
+    import shutil
+
+    for p in bounce_dirs:
+        shutil.rmtree(p, ignore_errors=True)
 
     return CoverTreeModel(
         base, max_radius, root_pid, vertices, local_trees, points,

@@ -73,3 +73,41 @@ def test_block_kernel_two_table(spark):
         for r in knn_join_block_kernel(corpus, k=5).collect()
     }
     assert self_like == direct
+
+
+def test_block_kernel_disjoint_tables_colliding_ids(spark):
+    """exclude_same_id=False: genuinely disjoint tables whose id spaces
+    collide — a corpus point with the query's id is a valid neighbor and
+    must be returned (VERDICT r2 'wrong' #5)."""
+    import numpy as np
+    import pandas as pd
+
+    # corpus point id=7 sits exactly at the query id=7's location
+    corpus_pdf = pd.DataFrame({
+        "id": np.arange(50, dtype=np.int64),
+        "x": np.linspace(0.0, 49.0, 50).astype(np.float32),
+        "y": np.zeros(50, dtype=np.float32),
+    })
+    q_pdf = pd.DataFrame({
+        "id": np.array([7], dtype=np.int64),
+        "x": np.array([7.0], dtype=np.float32),
+        "y": np.array([0.0], dtype=np.float32),
+    })
+    corpus = spark.createDataFrame(corpus_pdf)
+    qs = spark.createDataFrame(q_pdf)
+
+    incl = {
+        (r.src, r.nbr_rank, r.dst)
+        for r in knn_join_block_kernel(
+            corpus, k=3, queries=qs, exclude_same_id=False
+        ).collect()
+    }
+    # nearest is the colliding corpus point itself (d=0), then ids 6/8
+    assert incl == {(7, 1, 7), (7, 2, 6), (7, 3, 8)}
+
+    # default (exclude_same_id=True) keeps the old "queries ⊆ corpus" view
+    excl = {
+        (r.src, r.nbr_rank, r.dst)
+        for r in knn_join_block_kernel(corpus, k=3, queries=qs).collect()
+    }
+    assert excl == {(7, 1, 6), (7, 2, 8), (7, 3, 5)}

@@ -220,6 +220,17 @@ def _hub_argmax_np(blk: dict):
     ))
 
 
+def _morton(cx: int, cy: int, bits: int = 21) -> int:
+    """Interleave two (offset-shifted) cell coords — drives the Z-order cell
+    packing of the hot-hub sub-split so groups stay spatially compact."""
+    x = (cx + (1 << (bits - 1))) & ((1 << bits) - 1)
+    y = (cy + (1 << (bits - 1))) & ((1 << bits) - 1)
+    out = 0
+    for i in range(bits):
+        out |= ((x >> i) & 1) << (2 * i + 1) | ((y >> i) & 1) << (2 * i)
+    return out
+
+
 def _sorted_ops(ops: dict) -> dict:
     """Sort op arrays for the kernel's searchsorted lookups."""
     leaves = np.sort(np.asarray(ops["leaves"], dtype=np.int64))
@@ -311,11 +322,13 @@ class _BlockRounds:
                     far[h] = (pid, px, py, d)
         return far, counts
 
-    def write_applied(self, path: str) -> int:
+    def write_applied(self, path: str) -> dict[int, int]:
         """ONE job: replay the log over base and land the applied state as
         parquet part files (no intermediate compaction pass, no write-back
-        serialization). The log is kept — base is unchanged, so a build that
-        continues after a mid-loop checkpoint keeps replaying correctly."""
+        serialization). Returns the per-hub ACTIVE counts of the written
+        state (rides along free — they feed the hot-hub balance step). The
+        log is kept — base is unchanged, so a build that continues after a
+        mid-loop checkpoint keeps replaying correctly."""
         log = list(self.log)
         os.makedirs(path, exist_ok=True)
 
@@ -328,9 +341,15 @@ class _BlockRounds:
                     blk = _apply_ops_np(blk, ops)
                 t = pa.table({c: blk[c] for c in _STATE_COLS})
                 pq.write_table(t, os.path.join(path, f"part-{split:05d}.parquet"))
-                yield 1
+                act = blk["hub_vtx"][blk["hub_vtx"] >= 0]
+                hubs, cnts = np.unique(act, return_counts=True)
+                yield list(zip(hubs.tolist(), cnts.tolist()))
 
-        return self.base.mapPartitionsWithIndex(w).count()
+        counts: dict[int, int] = {}
+        for part in self.base.mapPartitionsWithIndex(w).collect():
+            for h, c in part:
+                counts[h] = counts.get(h, 0) + c
+        return counts
 
     def _unpersist(self):
         if self._tuple_rdd is not None:
@@ -461,18 +480,20 @@ def build_cover_tree(
     pending: dict | None = None  # last round's decisions, applied lazily
     bounce_dirs: list[str] = []  # applied-state parquet dirs, removed at end
 
+    final_counts: dict[int, int] = {}
+
     def _flush_state():
         """Apply pending + logged ops in one job, land the state as parquet,
         and point `state` at a LAZY read of it (consumers scan the files;
         no extra materialization pass)."""
-        nonlocal pending, state
+        nonlocal pending, state, final_counts
         import uuid
 
         if pending is not None:
             rounds.log.append(_sorted_ops(pending))
             pending = None
         path = os.path.join(tmp_dir, f"covergrid-flush-{uuid.uuid4().hex}")
-        rounds.write_applied(path)
+        final_counts = rounds.write_applied(path)
         bounce_dirs.append(path)
         state = spark.read.parquet(path)
 
@@ -547,6 +568,99 @@ def build_cover_tree(
     rounds.release()
     _trace("flush", t0)
 
+    # --- hot-hub sub-split (load-balance the local phase) --------------------
+    # A hub_cutoff break can leave one dense hub owning 10-15% of the corpus;
+    # its single-task local build then gates the whole phase (and at cluster
+    # scale risks executor OOM). The reference's only lever is more global
+    # rounds (the imbalance criterion, DistCoverTree.cpp:746-748); here
+    # oversized hubs are instead cracked in ONE vectorized pass: members
+    # gridded at the hub's ball scale, cells Morton-packed into ≤max_pts
+    # groups on the driver, each group registered as a child vertex of the
+    # hub and built as its own local tree. Query routing stays EXACT because
+    # routed traversal bounds use each local root's ACTUAL covering radius
+    # (plans/query.py _hub_radii), not the level ball — same discipline as
+    # the ε-join's hot-cell-only salting.
+    active_state = state
+    if chains and imbalance_target is not None and final_counts:
+        t0 = time.time()
+        total_active = sum(final_counts.values()) or 1
+        max_pts = max(int(math.ceil(imbalance_target * total_active / n_parts)), 4096)
+        fat = {h: c for h, c in final_counts.items() if c > max_pts}
+        if fat:
+            # per-hub grid size: hub ball diameter / G, G² cells ≈ 16 groups
+            sizes = []
+            for h, c in fat.items():
+                ball = max_radius * base ** (-1.0 * vlevel[h])
+                g = max(int(math.ceil(4.0 * math.sqrt(c / max_pts))), 2)
+                sizes.append((h, max(2.0 * ball / g, 1e-12)))
+            sdf = spark.createDataFrame(sizes, "f_hub long, f_s double")
+            cells = (
+                state.where(F.col("hub_vtx") >= 0)
+                .join(F.broadcast(sdf), F.col("hub_vtx") == F.col("f_hub"))
+                .select(
+                    "hub_vtx",
+                    F.floor(F.col("x").cast("double") / F.col("f_s")).alias("cx"),
+                    F.floor(F.col("y").cast("double") / F.col("f_s")).alias("cy"),
+                    "pid",
+                )
+                .groupBy("hub_vtx", "cx", "cy")
+                .agg(F.count(F.lit(1)).alias("n"), F.min("pid").alias("mpid"))
+                .collect()
+            )
+            by_hub: dict[int, list] = {}
+            for r in cells:
+                by_hub.setdefault(int(r.hub_vtx), []).append(
+                    (int(r.cx), int(r.cy), int(r.n), int(r.mpid))
+                )
+            remap_rows: list[tuple[int, int, int, int]] = []
+            for h, cl in sorted(by_hub.items()):
+                # Morton order keeps packed groups spatially compact
+                cl.sort(key=lambda t: _morton(t[0], t[1]))
+                group: list[tuple] = []
+                gn = 0
+
+                def close_group():
+                    root = min(m for _, _, _, m in group)
+                    vid = len(verts)
+                    verts.append((vid, root, h, vlevel[h] + 1))
+                    vlevel[vid] = vlevel[h] + 1
+                    chains[vid] = [root]
+                    for gcx, gcy, _, _ in group:
+                        remap_rows.append((h, gcx, gcy, vid))
+
+                for cx, cy, n, mpid in cl:
+                    if group and gn + n > max_pts:
+                        close_group()
+                        group, gn = [], 0
+                    group.append((cx, cy, n, mpid))
+                    gn += n
+                if group:
+                    close_group()
+                del chains[h]
+            rm = spark.createDataFrame(
+                remap_rows, "r_hub long, r_cx long, r_cy long, r_vid long"
+            )
+            # remap only the LOCAL-PHASE view; leaf assembly reads the raw
+            # state (leaf rows are untouched by the sub-split)
+            active_state = (
+                state.join(F.broadcast(sdf), F.col("hub_vtx") == F.col("f_hub"), "left")
+                .withColumn("cx", F.floor(F.col("x").cast("double") / F.col("f_s")))
+                .withColumn("cy", F.floor(F.col("y").cast("double") / F.col("f_s")))
+                .join(
+                    F.broadcast(rm),
+                    (F.col("hub_vtx") == F.col("r_hub"))
+                    & (F.col("cx") == F.col("r_cx"))
+                    & (F.col("cy") == F.col("r_cy")),
+                    "left",
+                )
+                .select(
+                    "pid", "x", "y", "dist",
+                    F.coalesce("r_vid", "hub_vtx").alias("hub_vtx"),
+                    "hub_pt", "leaf_parent",
+                )
+            )
+        _trace("hub_balance", t0)
+
     # --- local phase (DistCoverTree.cpp:814-934 analog) ---------------------
     local_trees = None
     local_roots: list[int] = []
@@ -556,7 +670,7 @@ def build_cover_tree(
             [(h, vlevel[h], chains[h][0]) for h in local_roots],
             "h_vtx long, h_level long, h_pid long",
         )
-        active = state.where(F.col("hub_vtx") >= 0).join(
+        active = active_state.where(F.col("hub_vtx") >= 0).join(
             F.broadcast(hub_meta), F.col("hub_vtx") == F.col("h_vtx")
         )
         b = base

@@ -94,13 +94,35 @@ def tree_radius_join(
     x: str = "x",
     y: str = "y",
 ) -> DataFrame:
-    """All (qid, point_id) with d ≤ radius, answered through the tree."""
+    """All (qid, point_id) with d ≤ radius, answered through the tree.
+
+    The result is distinct-BY-CONSTRUCTION — no terminal ``.distinct()``
+    shuffle over the (potentially huge) pair set. The three hit sources are
+    made disjoint: stage 1 tests exactly the points of NON-stop top vertices
+    (deduped in-kernel; a chain point can sit on several vertices); stage 2
+    and the leaf join drop those same points (stage 1 is guaranteed to find
+    them: a vertex whose point is within r always passes its own traversal
+    bound). Stage 2 covers each corpus point at most once (one owning hub);
+    leaves are disjoint from local trees by deactivation."""
     spark = queries.sparkSession
     tree, upid, stop = _top_tree_arrays(model)
     vid_of_stop = np.array(model.local_roots, dtype=np.int64)
     stop_to_vid = dict(zip(stop.tolist(), vid_of_stop.tolist()))
     stop_radii = _hub_radii(model, vid_of_stop)
-    bc = spark.sparkContext.broadcast((tree, upid, stop, stop_to_vid, stop_radii))
+    # global pids tested by the stage-1 traversal = points of non-stop
+    # vertices (stop vertices are routed before their point is tested)
+    nonstop = np.ones(len(tree.pt), dtype=bool)
+    if len(stop):
+        nonstop[stop] = False
+    stage1_pids = np.unique(upid[tree.pt[nonstop]])
+    # dense vertex-index → hub vid lookup (the routed leg maps millions of
+    # rows — a dict per row would be the hot loop)
+    vid_lookup = np.full(len(tree.pt), -1, dtype=np.int64)
+    if len(stop):
+        vid_lookup[stop] = vid_of_stop
+    bc = spark.sparkContext.broadcast(
+        (tree, upid, stop, vid_lookup, stop_radii, stage1_pids)
+    )
     r = float(radius)
     base = model.base  # plain scalar for executor closures (model holds DFs)
 
@@ -111,7 +133,8 @@ def tree_radius_join(
     )
 
     def stage1(batches):
-        t, point_ids, stop_idx, s2v, s_radii = bc.value
+        t, point_ids, stop_idx, v2vid, s_radii, _s1pids = bc.value
+        n_pts = np.int64(len(point_ids))
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -121,6 +144,11 @@ def tree_radius_join(
             )
             out = []
             if len(hq):
+                # several vertices can carry the same chain point → dedupe
+                # (qid, pid) pairs in-kernel (each query lives in ONE batch,
+                # so per-batch dedup is global dedup)
+                keep = np.unique(hq * n_pts + hp, return_index=True)[1]
+                hq, hp = hq[keep], hp[keep]
                 out.append(pd.DataFrame({
                     "qid": pdf["qid"].to_numpy()[hq],
                     "kind": np.zeros(len(hq), dtype=np.int32),
@@ -132,7 +160,7 @@ def tree_radius_join(
                 out.append(pd.DataFrame({
                     "qid": pdf["qid"].to_numpy()[rq],
                     "kind": np.ones(len(rq), dtype=np.int32),
-                    "key": np.array([s2v[int(v)] for v in rv], dtype=np.int64),
+                    "key": v2vid[rv],  # vectorized vertex→hub vid map
                     "qx": pdf["qx"].to_numpy()[rq],
                     "qy": pdf["qy"].to_numpy()[rq],
                 }))
@@ -155,9 +183,16 @@ def tree_radius_join(
         from parallelcovertree_spark.operators.epsilon_join import epsilon_join
         from parallelcovertree_spark.plans.covertree import LEAF_VID_BASE
 
+        # drop leaf points stage 1 already tests (a dup-cluster's root point
+        # can be both a top vertex point and a leaf) — keeps the union
+        # distinct without a terminal shuffle
+        s1 = spark.createDataFrame(
+            [(int(p),) for p in stage1_pids], "s1_pid long"
+        )
         leaf_pts = (
             model.vertices.where(F.col("vertex_id") >= LEAF_VID_BASE)
             .select(F.col("point_id").alias("id"))
+            .join(F.broadcast(s1), F.col("id") == F.col("s1_pid"), "left_anti")
             .join(model.points, "id")
         )
         qn = q.select("qid", F.col("qx").alias("x"), F.col("qy").alias("y"))
@@ -167,7 +202,7 @@ def tree_radius_join(
         hits_top = hits_top.unionByName(hits_leaf)
 
     if model.local_trees is None:
-        return hits_top.distinct().select(F.col("qid").alias("src"), F.col("pid").alias("dst"))
+        return hits_top.select(F.col("qid").alias("src"), F.col("pid").alias("dst"))
 
     to_route = routed.where(F.col("kind") == 1).select(
         F.col("key").alias("hub_id"), "qid", "qx", "qy"
@@ -176,6 +211,7 @@ def tree_radius_join(
     def stage2(key, routes_pdf: pd.DataFrame, tree_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(routes_pdf) or not len(tree_pdf):
             return pd.DataFrame({"qid": pd.Series(dtype=np.int64), "pid": pd.Series(dtype=np.int64)})
+        _t, _pi, _si, _v2v, _sr, s1pids = bc.value
         tree_pdf = tree_pdf.sort_values("lvertex_id", kind="mergesort")
         pids = tree_pdf["point_id"].to_numpy(np.int64)
         codes, uniques = pd.factorize(pids)
@@ -192,6 +228,13 @@ def tree_radius_join(
         )
         qxy = np.stack([routes_pdf["qx"].to_numpy(), routes_pdf["qy"].to_numpy()], axis=1)
         hq, hp, _, _ = radii_query_np(t, qxy, r)
+        if len(hq):
+            # local trees repeat chain points across vertices too → dedupe
+            # (qid, pid); then drop stage-1-tested points (found there)
+            keep = np.unique(hq * np.int64(len(uniques)) + hp, return_index=True)[1]
+            hq, hp = hq[keep], hp[keep]
+            mask = ~np.isin(uniques[hp], s1pids)
+            hq, hp = hq[mask], hp[mask]
         return pd.DataFrame({
             "qid": routes_pdf["qid"].to_numpy()[hq],
             "pid": uniques[hp].astype(np.int64),
@@ -202,10 +245,9 @@ def tree_radius_join(
         .cogroup(model.local_trees.groupBy("hub_id"))
         .applyInPandas(stage2, "qid long, pid long")
     )
-    out = (
-        hits_top.unionByName(hits_local)
-        .distinct()
-        .select(F.col("qid").alias("src"), F.col("pid").alias("dst"))
+    # sources are pairwise disjoint (see docstring) → plain union, no shuffle
+    out = hits_top.unionByName(hits_local).select(
+        F.col("qid").alias("src"), F.col("pid").alias("dst")
     )
     return out
 

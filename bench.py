@@ -143,7 +143,8 @@ def main() -> None:
     # is warmed once at 1/10 size first: the first build in a JVM pays ~8s of
     # codegen/JIT compile across its per-iteration plans (measured 2x), and
     # throughput is a steady-state claim here exactly as for other queries.
-    if want("q_covertree_build") or want("q_covertree_epsilon"):
+    if (want("q_covertree_build") or want("q_covertree_epsilon")
+            or want("q_covertree_selective") or want("q_epsilon_selective")):
         from parallelcovertree_spark.plans.covertree import build_cover_tree
         from parallelcovertree_spark.plans.query import tree_epsilon_graph
 
@@ -166,6 +167,37 @@ def main() -> None:
         timings["q_covertree_build"] = round(bt, 3)
         counts["q_covertree_build"] = int(model.vertices.count())
         timings["q_covertree_epsilon"] = round(qt, 3)
+
+        if want("q_covertree_selective"):
+            # the tree's own regime: a 1% query set routed through the index
+            # (the full-corpus scan above is the grid join's regime — see
+            # COVERAGE.md flagship/selective note). Same radius; min-of-2.
+            from parallelcovertree_spark.plans.query import tree_radius_join
+
+            qs = pts.where(F.col("id") % 100 == 7)
+            st = None
+            for _ in range(2):
+                t0 = time.time()
+                counts["q_covertree_selective"] = int(
+                    tree_radius_join(model, qs, radius).count()
+                )
+                dt = time.time() - t0
+                st = dt if st is None or dt < st else st
+            timings["q_covertree_selective"] = round(st, 3)
+        if want("q_epsilon_selective"):
+            # grid two-table baseline over the identical selective workload
+            from parallelcovertree_spark.operators.epsilon_join import epsilon_join
+
+            qs = pts.where(F.col("id") % 100 == 7)
+            st = None
+            for _ in range(2):
+                t0 = time.time()
+                counts["q_epsilon_selective"] = int(
+                    epsilon_join(qs, pts, radius, left_id="id").count()
+                )
+                dt = time.time() - t0
+                st = dt if st is None or dt < st else st
+            timings["q_epsilon_selective"] = round(st, 3)
 
     total = round(sum(timings.values()), 3)
     spatial_sec = timings.get("q_epsilon_join", 0.0) + timings.get("q_knn10", 0.0)

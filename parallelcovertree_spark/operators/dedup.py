@@ -155,11 +155,12 @@ def minhash_signatures_np(
     """(doc_id, sig array<long>) — engine-grade MinHash signatures.
 
     Per Arrow batch: split → flatten all tokens of the batch into ONE object
-    array → ``pd.util.hash_array`` (64-bit, deterministic) → for each chunk
-    of permutations compute ``a·h + b`` (uint64 wraparound — a valid
-    universal family for min-hashing) over the (tokens × chunk) matrix and
-    take per-document minima with ``np.minimum.reduceat``. Memory is bounded
-    by ``tokens_in_batch × perm_chunk × 8`` bytes.
+    array → ``pd.util.hash_array`` (64-bit, deterministic) → per permutation
+    compute ``a·h + b`` (uint64 wraparound — a valid universal family for
+    min-hashing) over the flat token vector and take per-document minima
+    with 1-D ``np.minimum.reduceat``. Memory is bounded by
+    ``tokens_in_batch × 8`` bytes of temp per permutation. (``perm_chunk``
+    is retained for API compatibility; the 1-D loop obsoleted it.)
     """
     import numpy as np
     import pandas as pd
@@ -175,11 +176,14 @@ def minhash_signatures_np(
             flat = pd.util.hash_array(toks.explode().to_numpy()).astype(np.uint64)
             starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
             sig = np.empty((len(pdf), n_perm), dtype=np.uint64)
-            for c0 in range(0, n_perm, perm_chunk):
-                a = a_all[c0:c0 + perm_chunk]
-                b = b_all[c0:c0 + perm_chunk]
-                hm = flat[:, None] * a[None, :] + b[None, :]  # uint64 wraparound
-                sig[:, c0:c0 + len(a)] = np.minimum.reduceat(hm, starts, axis=0)
+            # one permutation at a time, 1-D: a (tokens × chunk) matrix with
+            # axis-0 reduceat is 22× slower (strided inner loop + a GB-sized
+            # temp); the 1-D form is contiguous and peaks memory at
+            # tokens × 8B (measured 0.52s vs 11.7s per 16 perms @ 8M tokens)
+            for j in range(n_perm):
+                sig[:, j] = np.minimum.reduceat(
+                    flat * a_all[j] + b_all[j], starts  # uint64 wraparound
+                )
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].to_numpy(np.int64),
                 "sig": list(sig.view(np.int64)),

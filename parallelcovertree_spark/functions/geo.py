@@ -91,11 +91,15 @@ def _uniform01(z: np.ndarray) -> np.ndarray:
 def url_hash64(urls) -> np.ndarray:
     """FNV-1a 64-bit over utf-8 bytes, per url (deterministic, locale-free).
 
-    Vectorized column-wise like ``functions.text.fingerprint_np``: the batch
-    lands in one padded (n × max_len) byte matrix and the FNV recurrence
+    Vectorized column-wise like ``functions.text.fingerprint_np``, INCLUDING
+    its length bucketing: rows are sorted by encoded length and cut into
+    chunks whenever rows·max_len would exceed a ~128 MB cell budget, so one
+    pathological mile-long URL in a 200k-row Arrow batch cannot inflate the
+    padded byte matrix to rows × max_len. Within a chunk the FNV recurrence
     advances one COLUMN per step — O(max_len) numpy passes over all rows at
-    once, no per-row/per-byte Python. Byte-identical to the scalar FNV-1a
-    loop (pinned by test_webpipeline_e2e + the fixture test)."""
+    once; the encode itself is pandas ``.str.encode`` (C-level), leaving no
+    per-row Python in the kernel. Byte-identical to the scalar FNV-1a loop
+    (pinned by test_webpipeline_e2e + the fixture test)."""
     import pandas as pd
 
     s = pd.Series(urls, dtype="object").reset_index(drop=True)
@@ -103,12 +107,30 @@ def url_hash64(urls) -> np.ndarray:
     out = np.full(n, 0xCBF29CE484222325, dtype=_U64)
     if n == 0:
         return out
-    enc = s.map(lambda u: u.encode("utf-8"))
-    lens = enc.map(len).to_numpy(np.int64)
+    enc = s.str.encode("utf-8")
+    lens = enc.str.len().to_numpy(np.int64)
+    order = np.argsort(lens, kind="stable")
+    cell_budget = 16 << 20  # uint8 cells per padded matrix
+    start = 0
+    while start < n:
+        stop = start + 1
+        # ascending lengths: chunk max_len = last element's length
+        while stop < n and (stop + 1 - start) * max(int(lens[order[stop]]), 1) <= cell_budget:
+            stop += 1
+        idx = order[start:stop]
+        out[idx] = _fnv1a_chunk(enc.iloc[idx].tolist(), lens[idx])
+        start = stop
+    return out
+
+
+def _fnv1a_chunk(enc: list, lens: np.ndarray) -> np.ndarray:
+    """One padded-matrix FNV-1a pass over a length-bucketed chunk."""
+    n = len(enc)
+    out = np.full(n, 0xCBF29CE484222325, dtype=_U64)
     max_len = int(lens.max()) if n else 0
     if max_len == 0:
         return out
-    joined = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8)
+    joined = np.frombuffer(b"".join(enc), dtype=np.uint8)
     mat = np.zeros((n, max_len), dtype=np.uint8)
     mat[np.arange(max_len)[None, :] < lens[:, None]] = joined
     prime = _U64(0x100000001B3)

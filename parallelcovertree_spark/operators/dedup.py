@@ -262,6 +262,9 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            # both sides of the jump join read prop — checkpoint so the
+            # propagation aggregate is computed once per round, not twice
+            .localCheckpoint(eager=True)
         )
         # pointer doubling: every label IS a node id (labels start as node
         # ids and min() only keeps existing ids), so label(label(v)) is a

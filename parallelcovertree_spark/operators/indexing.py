@@ -29,15 +29,23 @@ def global_row_index(
     """Append a 1-based dense global rank ordered by ``order_by`` (which must
     be a unique key) without a single-partition global sort."""
     spark = df.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # AQE platforms may set "auto"
+        n_parts = int(df.rdd.getNumPartitions()) or int(
+            spark.sparkContext.defaultParallelism
+        )
+    pid_col = "_pid"
+    while pid_col in df.columns:  # never clobber a user column
+        pid_col = "_" + pid_col
     parted = (
         df.repartitionByRange(n_parts, *order_by)
         .sortWithinPartitions(*order_by)
-        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(pid_col, F.spark_partition_id())
         .localCheckpoint(eager=True)  # pin partitioning+order for both passes
     )
-    counts = {int(r._pid): int(r.cnt) for r in
-              parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    counts = {int(r[0]): int(r[1]) for r in
+              parted.groupBy(pid_col).agg(F.count(F.lit(1)).alias("cnt")).collect()}
     offsets: dict[int, int] = {}
     total = 0
     for pid in sorted(counts):  # range partitions are ordered by key range
@@ -56,8 +64,8 @@ def global_row_index(
             if len(pdf) == 0:
                 continue
             if off is None:
-                off = bc.value.get(int(pdf["_pid"].iloc[0]), 0)
-            pdf = pdf.drop(columns=["_pid"])
+                off = bc.value.get(int(pdf[pid_col].iloc[0]), 0)
+            pdf = pdf.drop(columns=[pid_col])
             pdf[out_col] = off + 1 + seen + np.arange(len(pdf), dtype=np.int64)
             seen += len(pdf)
             yield pdf

@@ -150,6 +150,10 @@ def _df_to_blocks(state: DataFrame, tmp_dir: str):
         .mapPartitions(read_file)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # truncate lineage BEFORE deleting the bounce files: on a real cluster a
+    # lost cached partition would otherwise recompute by re-reading files
+    # that no longer exist (same discipline as compaction)
+    rdd.localCheckpoint()
     rdd.count()  # materialize before deleting the bounce files
     shutil.rmtree(path, ignore_errors=True)
     return rdd

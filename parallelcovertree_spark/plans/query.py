@@ -37,7 +37,14 @@ def _top_tree_arrays(model: CoverTreeModel) -> tuple[TreeArrays, np.ndarray, np.
     by the hub cutoff, but leaves are one-per-deactivated-point — a corpus
     with massive coordinate-duplicate clusters (same-URL hashes) would drag
     O(dups) rows onto the driver. Leaf hits are answered distributed instead
-    (grid ε-join in ``tree_radius_join``)."""
+    (grid ε-join in ``tree_radius_join``).
+
+    Memoized on the model (like ``_hub_radii``): a kNN radius search runs up
+    to 8 expansion rounds against the same immutable model — one collect,
+    not one per round."""
+    cached = getattr(model, "_top_tree_cache", None)
+    if cached is not None:
+        return cached
     from parallelcovertree_spark.plans.covertree import LEAF_VID_BASE
 
     rows = (
@@ -64,7 +71,9 @@ def _top_tree_arrays(model: CoverTreeModel) -> tuple[TreeArrays, np.ndarray, np.
     level = np.array([r.level for r in rows], dtype=np.int64)
     tree = TreeArrays(codes.astype(np.int64), level, parent, model.max_radius, model.base, xy)
     stop = np.array([vidx[h] for h in model.local_roots], dtype=np.int64)
-    return tree, upid, stop  # upid maps point index → global pid
+    cached = (tree, upid, stop)  # upid maps point index → global pid
+    object.__setattr__(model, "_top_tree_cache", cached)
+    return cached
 
 
 def _hub_radii(model: CoverTreeModel, vid_of_stop: np.ndarray) -> np.ndarray | None:
@@ -120,9 +129,14 @@ def tree_radius_join(
     vid_lookup = np.full(len(tree.pt), -1, dtype=np.int64)
     if len(stop):
         vid_lookup[stop] = vid_of_stop
-    bc = spark.sparkContext.broadcast(
-        (tree, upid, stop, vid_lookup, stop_radii, stage1_pids)
-    )
+    # radius-independent payload → memoized broadcast: tree_knn's expansion
+    # rounds reuse one executor-side copy instead of re-shipping the model
+    bc = getattr(model, "_query_bc_cache", None)
+    if bc is None:
+        bc = spark.sparkContext.broadcast(
+            (tree, upid, stop, vid_lookup, stop_radii, stage1_pids)
+        )
+        object.__setattr__(model, "_query_bc_cache", bc)
     r = float(radius)
     base = model.base  # plain scalar for executor closures (model holds DFs)
 

@@ -39,12 +39,15 @@ def canon(df: pd.DataFrame) -> tuple[pd.DataFrame, str | None]:
     for c in df.columns:
         if df[c].dtype == object and df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
             return df, f"column {c!r} holds list values (driver canonicalizer throws)"
-    # Sort on ROUNDED float keys: sub-tolerance (<5e-10) engine differences
-    # must not reorder rows and misalign the positional per-column compare.
+    # Sort on QUANTIZED float keys, coarser than the compare tolerance
+    # (round-7 vs tol 1e-9): sub-tolerance engine differences must not
+    # reorder rows and misalign the positional per-column compare, and a
+    # boundary straddle now needs a 100× larger (real) difference — such
+    # rows genuinely differ and should fail anyway.
     keys = df.copy()
     for c in keys.columns:
         if pd.api.types.is_float_dtype(keys[c].dtype):
-            keys[c] = keys[c].round(9)
+            keys[c] = keys[c].round(7)
     try:
         order = keys.sort_values(list(keys.columns), kind="mergesort").index
         df = df.loc[order].reset_index(drop=True)

@@ -68,7 +68,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
 
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    # 5 reps: this VM shows variable host contention (measured 4.2% steal,
+    # BENCH/knn10_note.md) — best-of-5 samples past transient noise
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     # BENCH_ONLY="q_epsilon_join,q_knn10" restricts to a query subset (the
     # 10M-point scaling protocol times only the spatial headline)
     only = {q for q in (os.environ.get("BENCH_ONLY") or "").split(",") if q}

@@ -26,6 +26,9 @@ numpy, 9× point replication), ``knn_join_block_kernel`` (per-block numpy,
 
 from __future__ import annotations
 
+import os as _os
+import time as _time
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -535,6 +538,8 @@ def knn_join_block_kernel(
     OFF = 1 << 20
     NBR = np.array([dx * M + dy for dx in (-1, 0, 1) for dy in (-1, 0, 1)], dtype=np.int64)
 
+    _dbg = bool(_os.environ.get("COVERGRID_KNN_DEBUG"))
+    _t0 = _time.time()
     base = points.select(
         F.col(id_col).cast("long").alias("pid"),
         F.col(x).cast("double").alias("px"),
@@ -549,6 +554,8 @@ def knn_join_block_kernel(
             F.col(y).cast("double").alias("py"),
         ).persist()
     r = float(r0) if r0 is not None else estimate_radius(base, k + 1, "px", "py")
+    if _dbg:
+        print(f"[knn-block] prep+radius={_time.time() - _t0:.2f}s", flush=True)
     # self-join always masks the point's own row; two-table masks colliding
     # ids only when exclude_same_id (the default = "queries ⊆ corpus")
     mask_same = qbase is None or exclude_same_id
@@ -732,12 +739,14 @@ def knn_join_block_kernel(
                 if out is not None and len(out):
                     yield out
 
+        _t1 = _time.time()
         solved = (
             ex.repartition(parts, "block")
             .sortWithinPartitions("block", "cell")
             .mapInArrow(kernel, out_schema)
             .localCheckpoint(eager=True)
         )
+        _t2 = _time.time()
         results.append(
             solved.where(F.size("topk") > 0)
             .select("src", F.posexplode("topk").alias("pos", "dst"))
@@ -746,16 +755,27 @@ def knn_join_block_kernel(
         prev_unresolved = unresolved_ids
         unresolved_ids = solved.where(F.size("topk") == 0).select("src").persist()
         remaining = unresolved_ids.count()
+        if _dbg:
+            print(
+                f"[knn-block] round={round_no} r={r:.5f} kernel={_t2 - _t1:.2f}s "
+                f"resolve={_time.time() - _t2:.2f}s remaining={remaining}",
+                flush=True,
+            )
         if prev_unresolved is not None:
             prev_unresolved.unpersist()
         if remaining == 0:
             break
         r *= 2.0
         if remaining * n_total <= brute_pair_budget or round_no == max_rounds - 1:
+            _t3 = _time.time()
             qsrc = qbase if qbase is not None else base
             strag = qsrc.join(F.broadcast(unresolved_ids), qsrc.pid == F.col("src")).select(
                 F.col("pid").alias("q"), F.col("px").alias("qx"), F.col("py").alias("qy")
             )
+            # JVM-side broadcast-join + window beats a numpy partial-top-k
+            # scan here (measured 0.5s vs 1.0s at remaining=2, 1M corpus):
+            # the Arrow transfer of the full base to Python workers costs
+            # more than a whole-stage-codegen pair scan of remaining·n rows
             cand = F.broadcast(strag).join(
                 base, F.col("q") != F.col("pid") if mask_same else F.lit(True)
             )
@@ -767,6 +787,12 @@ def knn_join_block_kernel(
                 .select(F.col("q").alias("src"), "nbr_rank", F.col("pid").alias("dst"))
                 .localCheckpoint(eager=True)
             )
+            if _dbg:
+                print(
+                    f"[knn-block] straggler remaining={remaining} "
+                    f"broadcast-window {_time.time() - _t3:.2f}s",
+                    flush=True,
+                )
             break
 
     out = results[0]

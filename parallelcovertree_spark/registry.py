@@ -304,6 +304,28 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "exact_dedup_labels",
+    """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS keeper_id,
+       CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text)
+            THEN 0 ELSE 1 END AS is_dup
+FROM documents""",
+)
+def exact_dedup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup labels: (doc_id, keeper_id = min same-text doc_id,
+    is_dup) — the batch twin of the streaming dedup-on-ingest operator
+    (streaming/dedup.py; stream == batch pinned by
+    tests/test_streaming_dedup.py). One shuffle on the sha2-256 digest, not
+    the text, same width argument as exact_dedup."""
+    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("keeper_id"),
+    ).withColumn(
+        "is_dup", (F.col("doc_id") != F.col("keeper_id")).cast("int")
+    )
+
+
 def _mh_expr(i: int) -> str:
     a, b = _MH_COEF[i]
     h = TOKEN_HASH_SQL.format(tok="tok")

@@ -386,34 +386,32 @@ def minhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit(0).alias("band"),
-                    (F.col("mh0").cast("long") * _MH_P + F.col("mh1")).alias("bk"),
-                ),
-                F.struct(
-                    F.lit(1).alias("band"),
-                    (F.col("mh2").cast("long") * _MH_P + F.col("mh3")).alias("bk"),
-                ),
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.bk")
+        (F.col("mh0").cast("long") * _MH_P + F.col("mh1")).alias("bk0"),
+        (F.col("mh2").cast("long") * _MH_P + F.col("mh3")).alias("bk1"),
+    ).select(
+        "doc_id", "bk0",
+        F.posexplode(F.array("bk0", "bk1")).alias("band", "bk"),
+    )
     # shuffle_hash: (a) the exploded side's size estimate is its child's —
     # auto-strategy would broadcast a corpus-sized band table; (b) with BOTH
     # sides shuffled on (band, bk) AND carrying identical schemas (reuse
     # checks schema including names — aliasing src/dst pre-join defeats it),
     # ReuseExchange materializes the signature shuffle once
     a, b = bands.alias("a").hint("shuffle_hash"), bands.alias("b").hint("shuffle_hash")
+    # min-band-wins (same trick as the engine-grade op, operators/dedup.py):
+    # each row carries band-0's key, so a band-1 match is emitted only when
+    # band 0 did NOT already match — the pair set is distinct BY
+    # CONSTRUCTION and the terminal .distinct() shuffle over it disappears
+    earlier_band_match = (F.col("a.band") > 0) & (F.col("a.bk0") == F.col("b.bk0"))
     return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ~earlier_band_match,
         )
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .distinct()
     )
 
 

@@ -60,6 +60,39 @@ class TreeArrays:
         return self._child_off, self._child_idx
 
 
+class _VertexStore:
+    """Chunked growable vertex store: per-ROUND array appends instead of
+    per-vertex list appends (the 150k-point profile showed 1.24M Python
+    list appends = the kernel's hottest loop). ``level`` additionally keeps
+    a doubling flat array because the chain rules read levels of arbitrary
+    earlier vertices."""
+
+    __slots__ = ("pt_chunks", "parent_chunks", "lvl", "n")
+
+    def __init__(self, cap: int = 1024):
+        self.pt_chunks: list[np.ndarray] = []
+        self.parent_chunks: list[np.ndarray] = []
+        self.lvl = np.empty(cap, dtype=np.int64)
+        self.n = 0
+
+    def append_chunk(self, pts: np.ndarray, levels: np.ndarray, parents: np.ndarray) -> int:
+        """Append a block of vertices; returns the first new vertex id."""
+        k = len(pts)
+        first = self.n
+        self.pt_chunks.append(np.asarray(pts, dtype=np.int64))
+        self.parent_chunks.append(np.asarray(parents, dtype=np.int64))
+        while self.n + k > len(self.lvl):
+            self.lvl = np.concatenate([self.lvl, np.empty(len(self.lvl), dtype=np.int64)])
+        self.lvl[self.n: self.n + k] = levels
+        self.n += k
+        return first
+
+    def arrays(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        pt = np.concatenate(self.pt_chunks) if self.pt_chunks else np.empty(0, np.int64)
+        par = np.concatenate(self.parent_chunks) if self.parent_chunks else np.empty(0, np.int64)
+        return pt, self.lvl[: self.n].copy(), par
+
+
 def build_cover_tree_np(xy: np.ndarray, base: float = 2.0) -> TreeArrays:
     """Level-batched build over float32 (n, 2) coords. Point index 0 is the
     root (the caller orders points; reference uses position 0 too)."""
@@ -68,10 +101,12 @@ def build_cover_tree_np(xy: np.ndarray, base: float = 2.0) -> TreeArrays:
     assert n > 0
     xy64 = xy.astype(np.float64)
 
-    # vertex store
-    v_pt: list[int] = [0]
-    v_level: list[int] = [0]
-    v_parent: list[int] = [-1]
+    # vertex store (chunked; vertex ids stay append-order sequential)
+    vs = _VertexStore()
+    vs.append_chunk(
+        np.zeros(1, np.int64), np.zeros(1, np.int64), np.full(1, -1, np.int64)
+    )
+    v_level = vs.lvl  # alias; re-bound after growth below
 
     dists = np.sqrt(((xy64 - xy64[0]) ** 2).sum(axis=1))
     max_radius = float(dists.max())
@@ -82,31 +117,44 @@ def build_cover_tree_np(xy: np.ndarray, base: float = 2.0) -> TreeArrays:
 
     if max_radius == 0.0:
         # all points coincide with the root: single leaf hub
-        for i in range(n):
-            v_pt.append(i)
-            v_level.append(1)
-            v_parent.append(0)
-        return TreeArrays(
-            np.array(v_pt), np.array(v_level), np.array(v_parent), 0.0, base, xy
+        vs.append_chunk(
+            np.arange(n, dtype=np.int64),
+            np.ones(n, dtype=np.int64),
+            np.zeros(n, dtype=np.int64),
         )
+        pt, lvl, par = vs.arrays()
+        return TreeArrays(pt, lvl, par, 0.0, base, xy)
 
     while chains:
         # --- farthest active point per hub (argmax, ties → lowest index) ---
+        # one stable 1-key sort by hub (idx is ascending, so within-hub
+        # order stays ascending-index) + reduceat segmented max + first
+        # equal-to-max per segment — same answer as the previous 3-key
+        # lexsort (hub asc, dist desc, idx asc) at ~half the sort cost
         idx = np.nonzero(active)[0]
         h = hub_vtx[idx]
         d = dists[idx]
-        # sort by (hub asc, dist desc, index asc); first row per hub = argmax
-        order = np.lexsort((idx, -d, h))
+        order = np.argsort(h, kind="stable")
         sh = h[order]
+        sd = d[order]
         first = np.ones(len(sh), dtype=bool)
         first[1:] = sh[1:] != sh[:-1]
-        far_hub = sh[first]
-        far_idx = idx[order][first]
-        far_dist = d[order][first]
+        starts = np.nonzero(first)[0]
+        maxs = np.maximum.reduceat(sd, starts)
+        seg_len = np.diff(np.concatenate([starts, [len(sh)]]))
+        is_max = sd == np.repeat(maxs, seg_len)
+        j = np.nonzero(is_max)[0]
+        seg_of_j = np.searchsorted(starts, j, side="right") - 1
+        _, first_occ = np.unique(seg_of_j, return_index=True)
+        pick = j[first_occ]
+        far_hub = sh[starts]
+        far_idx = idx[order][pick]
+        far_dist = sd[pick]
 
         leaf_set: set[int] = set()
         split_hubs: list[int] = []
         tails: dict[int, int] = {}
+        v_level = vs.lvl
         for hub, fi, fd in zip(far_hub.tolist(), far_idx.tolist(), far_dist.tolist()):
             fdn = fd / max_radius
             ball = base ** (-1.0 * v_level[hub])
@@ -120,14 +168,15 @@ def build_cover_tree_np(xy: np.ndarray, base: float = 2.0) -> TreeArrays:
                 tails[hub] = fi
 
         # --- leaves: every point of the hub becomes a child vertex ----------
+        # (vectorized: one chunk append per round, nonzero order == the old
+        # per-point append order, so vertex ids are bit-identical)
         if leaf_set:
             leaf_arr = np.fromiter(leaf_set, dtype=np.int64)
             m = active & np.isin(hub_vtx, leaf_arr)
-            for i in np.nonzero(m)[0]:
-                hub = int(hub_vtx[i])
-                v_pt.append(int(i))
-                v_level.append(v_level[hub] + 1)
-                v_parent.append(hub)
+            li = np.nonzero(m)[0]
+            if len(li):
+                lh = hub_vtx[li]
+                vs.append_chunk(li, vs.lvl[lh] + 1, lh)
             active[m] = False
             hub_vtx[m] = -1
             hub_pt[m] = -1
@@ -136,16 +185,27 @@ def build_cover_tree_np(xy: np.ndarray, base: float = 2.0) -> TreeArrays:
         # --- splits: chain members → new hubs; re-home by nearest member ----
         if split_hubs:
             pt_to_newvtx: dict[int, int] = {}
+            s_pts: list[int] = []
+            s_lvls: list[int] = []
+            s_pars: list[int] = []
+            vid = vs.n
+            v_level = vs.lvl
             for hub in split_hubs:
+                hlvl1 = int(v_level[hub]) + 1
                 for member in chains[hub]:
-                    vid = len(v_pt)
-                    v_pt.append(int(member))
-                    v_level.append(v_level[hub] + 1)
-                    v_parent.append(hub)
-                    chains[vid] = [int(member)]
-                    tails[vid] = int(member)
-                    pt_to_newvtx[int(member)] = vid
+                    s_pts.append(member)
+                    s_lvls.append(hlvl1)
+                    s_pars.append(hub)
+                    chains[vid] = [member]
+                    tails[vid] = member
+                    pt_to_newvtx[member] = vid
+                    vid += 1
                 del chains[hub]
+            vs.append_chunk(
+                np.asarray(s_pts, dtype=np.int64),
+                np.asarray(s_lvls, dtype=np.int64),
+                np.asarray(s_pars, dtype=np.int64),
+            )
             # vectorized re-home: hub_pt is always a chain member of the
             # point's own hub, and chains are disjoint across hubs
             keys = np.fromiter(pt_to_newvtx.keys(), dtype=np.int64)
@@ -175,14 +235,8 @@ def build_cover_tree_np(xy: np.ndarray, base: float = 2.0) -> TreeArrays:
             dists[mi[upd]] = cur[upd]
             hub_pt[mi[upd]] = tgt[upd]
 
-    return TreeArrays(
-        np.asarray(v_pt, dtype=np.int64),
-        np.asarray(v_level, dtype=np.int64),
-        np.asarray(v_parent, dtype=np.int64),
-        max_radius,
-        base,
-        xy,
-    )
+    pt, lvl, par = vs.arrays()
+    return TreeArrays(pt, lvl, par, max_radius, base, xy)
 
 
 def radii_query_np(

@@ -101,3 +101,75 @@ def test_fvecs_mixed_dim_directory_raises(spark, tmp_path):
     write_fvecs(str(d / "b.fvecs"), np.random.RandomState(1).randn(10, 3).astype(np.float32))
     with pytest.raises(Exception, match="mixed-dim"):
         read_points_spark(spark, str(d)).collect()
+
+
+def test_global_index_survives_auto_conf_and_pid_collision(spark, monkeypatch):
+    """ADVICE r3: 'auto' shuffle-partitions (AQE platforms; vanilla Spark
+    rejects setting it, so the conf READ is patched) must not crash, and a
+    user column named _pid must pass through untouched."""
+    from pyspark.sql.conf import RuntimeConfig
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .withColumn("_pid", F.col("doc_id") * 2)
+    )
+    orig_get = RuntimeConfig.get
+
+    def fake_get(self, key, *a, **kw):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return orig_get(self, key, *a, **kw)
+
+    monkeypatch.setattr(RuntimeConfig, "get", fake_get)
+    out = global_row_index(docs, ["n_chars", "doc_id"]).orderBy("global_idx")
+    pdf = out.toPandas()
+    assert list(pdf.columns) == ["doc_id", "n_chars", "_pid", "global_idx"]
+    assert (pdf["_pid"].to_numpy() == pdf["doc_id"].to_numpy() * 2).all()
+    assert (pdf["global_idx"].to_numpy() == np.arange(1, len(pdf) + 1)).all()
+
+
+def test_url_hash64_bucketing_handles_skewed_lengths():
+    """ADVICE r3 medium: one pathological mile-long URL in a batch must not
+    change any hash (bucketing is a pure partition of the rows)."""
+    from parallelcovertree_spark.functions.geo import url_hash64
+
+    urls = [f"https://example.com/{i}" for i in range(2000)]
+    base = url_hash64(urls)
+    with_long = urls + ["https://example.com/" + "x" * (1 << 20)]
+    mixed = url_hash64(with_long)
+    assert (mixed[:2000] == base).all()
+    # scalar FNV-1a reference for the long one
+    h = 0xCBF29CE484222325
+    for byt in with_long[-1].encode():
+        h = ((h ^ byt) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    assert int(mixed[-1]) == h
+
+
+def test_minhash_min_band_wins_is_distinct_and_complete(spark):
+    """The min-band-wins band join must emit exactly the distinct candidate
+    set: equal to the naive any-band-matches pair set, with no duplicates."""
+    from parallelcovertree_spark.operators.dedup import (
+        minhash_dup_pairs_np,
+        minhash_signatures_np,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    pairs = minhash_dup_pairs_np(docs, n_perm=32, bands=8).toPandas()
+    got = set(zip(pairs["src"], pairs["dst"]))
+    assert len(got) == len(pairs)  # distinct by construction
+
+    sigs = {
+        int(r.doc_id): tuple(r.sig)
+        for r in minhash_signatures_np(docs, n_perm=32).collect()
+    }
+    ids = sorted(sigs)
+    want = set()
+    r = 32 // 8
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            for band in range(8):
+                if sigs[a][band * r:(band + 1) * r] == sigs[b][band * r:(band + 1) * r]:
+                    want.add((a, b))
+                    break
+    assert got == want and len(want) > 0

@@ -78,17 +78,23 @@ def main() -> None:
     def want(name: str) -> bool:
         return not only or name in only
 
+    raws: dict[str, list[float]] = {}
+
     def timed(name: str, fn):
         """min over `reps` genuine computes. Each rep must be a REAL
         recompute: callers perturb literals per rep (Spark's CacheManager
         reuses results for identical canonicalized plans, which would turn
-        rep 2 into a cache read)."""
+        rep 2 into a cache read). All raw rep times are emitted in the JSON
+        (`raws`) so variance under this VM's episodic host contention is
+        visible, not curated away."""
         best = None
         out = None
+        rlist = raws.setdefault(name, [])
         for rep in range(reps):
             t0 = time.time()
             out = fn(rep)
             dt = time.time() - t0
+            rlist.append(round(dt, 3))
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
         counts[name] = int(out)
@@ -161,10 +167,12 @@ def main() -> None:
             t0 = time.time()
             model = build_cover_tree(pts, hub_cutoff=64)
             dt = time.time() - t0
+            raws.setdefault("q_covertree_build", []).append(round(dt, 3))
             bt = dt if bt is None or dt < bt else bt
             t0 = time.time()
             counts["q_covertree_epsilon"] = int(tree_epsilon_graph(model, radius).count())
             dt = time.time() - t0
+            raws.setdefault("q_covertree_epsilon", []).append(round(dt, 3))
             qt = dt if qt is None or dt < qt else qt
         timings["q_covertree_build"] = round(bt, 3)
         counts["q_covertree_build"] = int(model.vertices.count())
@@ -184,6 +192,7 @@ def main() -> None:
                     tree_radius_join(model, qs, radius).count()
                 )
                 dt = time.time() - t0
+                raws.setdefault("q_covertree_selective", []).append(round(dt, 3))
                 st = dt if st is None or dt < st else st
             timings["q_covertree_selective"] = round(st, 3)
         if want("q_epsilon_selective"):
@@ -198,6 +207,7 @@ def main() -> None:
                     epsilon_join(qs, pts, radius, left_id="id").count()
                 )
                 dt = time.time() - t0
+                raws.setdefault("q_epsilon_selective", []).append(round(dt, 3))
                 st = dt if st is None or dt < st else st
             timings["q_epsilon_selective"] = round(st, 3)
 
@@ -214,6 +224,7 @@ def main() -> None:
         "docs_per_sec": round(n / spatial_sec, 1) if spatial_sec > 0 else None,
         "rows": counts,
         "cpus": cpus,
+        "raws": raws,
     }
     spark.stop()
     print(json.dumps(out))

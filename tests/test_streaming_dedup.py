@@ -85,3 +85,52 @@ def test_dedup_state_carries_across_microbatches(tmp_path, spark):
         ).collect()
     }
     assert got == w_keeper
+
+
+def test_dedup_state_survives_query_restart(tmp_path, spark):
+    """North-rule resumability, streaming side: drain file 1, STOP the
+    query, then start a NEW query from the same checkpoint over file 2 —
+    the sha2 state store must carry over, so copies arriving after the
+    restart are flagged against keepers seen before it."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text"
+    )
+    d = tmp_path / "docs3"
+    d.mkdir()
+    ckpt = str(tmp_path / "ck3")
+
+    out_dir = str(tmp_path / "out")
+
+    def drain_to_parquet(run: int):
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        def write(bdf, epoch_id):
+            bdf.withColumn("run", F.lit(run)).write.mode("append").parquet(out_dir)
+
+        q = (
+            dedup_stream(stream_docs_from_parquet(spark, str(d)))
+            .writeStream.foreachBatch(write)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    docs.coalesce(1).write.parquet(str(tmp_path / "q1"))
+    shutil.copy(next((tmp_path / "q1").glob("part-*.parquet")), d / "00.parquet")
+    drain_to_parquet(1)
+    assert spark.read.parquet(out_dir).count() == docs.count()
+
+    # restart: new file lands, NEW streaming query, SAME checkpoint
+    planted.coalesce(1).write.parquet(str(tmp_path / "q2"))
+    shutil.copy(next((tmp_path / "q2").glob("part-*.parquet")), d / "01.parquet")
+    drain_to_parquet(2)
+    second = spark.read.parquet(out_dir).where(F.col("run") == 2)
+    got = {(r.doc_id, r.keeper_id, r.is_dup) for r in second.collect()}
+    want = {
+        (r.doc_id, r.doc_id - 20_000_000, 1) for r in planted.collect()
+    }
+    # the restarted query processes ONLY the new file, and every planted
+    # copy is recognized against pre-restart state
+    assert got == want and len(want) > 0

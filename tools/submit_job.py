@@ -7,7 +7,9 @@ Usage:
         epsilon /root/testdata/sf0.1 0.05 /tmp/edges_out
 
 Jobs: epsilon <sf_dir> <radius> <out_dir> | knn <sf_dir> <k> <out_dir> |
-covertree <sf_dir> <radius> <out_dir> [checkpoint_dir]
+covertree <sf_dir> <radius> <out_dir> [checkpoint_dir] |
+query <name> <sf_dir> <out_dir>   (any of the 45 registry operators —
+                                   dedup, ANN, tiles, text analysis, ...)
 
 The script imports the engine from the shipped zip (no repo checkout needed
 on executors) and writes results as parquet.
@@ -22,10 +24,25 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     job = sys.argv[1]
-    sf_dir = sys.argv[2]
     spark = SparkSession.builder.appName(f"covergrid-{job}").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if job == "query":
+        # run any registry operator: query <name> <sf_dir> <out_dir>
+        name, sf_dir, out = sys.argv[2], sys.argv[3], sys.argv[4]
+        from parallelcovertree_spark.registry import _QUERIES
+
+        if name not in _QUERIES:
+            raise SystemExit(
+                f"unknown query {name!r}; choose from: {', '.join(sorted(_QUERIES))}"
+            )
+        _QUERIES[name](spark, sf_dir).write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+        print(f"covergrid job=query:{name} wrote {n} rows to {out}")
+        spark.stop()
+        return
+
+    sf_dir = sys.argv[2]
     from parallelcovertree_spark.functions import geo
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -156,14 +156,28 @@ def main() -> None:
         from parallelcovertree_spark.plans.covertree import build_cover_tree
         from parallelcovertree_spark.plans.query import tree_epsilon_graph
 
+        import gc as _gc
+
+        def _jvm_gc():
+            # a model pins checkpointed local trees + memoized broadcasts;
+            # dropping the python ref + forcing both GCs between heavy
+            # sections keeps later queries out of a fragmented/full heap
+            # (measured: q_epsilon_selective 6.2s at the tail of a full
+            # bench vs 1.4s isolated — JVM state, not host noise)
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+
         wsample = pts.where(F.col("id") % 10 == 3)
         wmodel = build_cover_tree(wsample, hub_cutoff=64)
         tree_epsilon_graph(wmodel, radius).count()
+        del wmodel
         # min-of-2 for both phases: the routed-query path crosses the Python
         # boundary heavily and shows ±40% run-to-run GC variance at 1M rows
         bt = qt = None
         model = None
         for _ in range(2):
+            model = None
+            _jvm_gc()
             t0 = time.time()
             model = build_cover_tree(pts, hub_cutoff=64)
             dt = time.time() - t0
@@ -178,6 +192,7 @@ def main() -> None:
         counts["q_covertree_build"] = int(model.vertices.count())
         timings["q_covertree_epsilon"] = round(qt, 3)
 
+        _jvm_gc()
         if want("q_covertree_selective"):
             # the tree's own regime: a 1% query set routed through the index
             # (the full-corpus scan above is the grid join's regime — see

@@ -70,6 +70,21 @@ def explode_k_ring(df: DataFrame, res: float, k: int = 1, x: str = "x", y: str =
     return df.withColumn(out, F.explode(cells))
 
 
+def parent_cell(cell: Column | str) -> Column:
+    """Parent tile id at DOUBLE the resolution, from the cell id alone —
+    no coordinate re-scan (H3 ``cellToParent`` analog). Exact by the floor
+    composition law ``floor(x/2r) == floor(floor(x/r)/2)`` (holds for all
+    real x, negatives included), so deriving a pyramid level from child
+    CELLS equals encoding the points directly at the coarser resolution."""
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    ix = F.floor(cell / F.lit(_SHIFT)).cast("long") - F.lit(_OFF)
+    iy = (cell % F.lit(_SHIFT)).cast("long") - F.lit(_OFF)
+    return cell_id_from_ix(
+        F.floor(ix.cast("double") / F.lit(2.0)).cast("long"),
+        F.floor(iy.cast("double") / F.lit(2.0)).cast("long"),
+    )
+
+
 def cell_ids_np(x: np.ndarray, y: np.ndarray, res: float) -> np.ndarray:
     """Vectorized numpy encoder (same layout) for pandas-UDF kernels."""
     ix = np.floor(np.asarray(x, dtype=np.float64) / res).astype(np.int64)

@@ -1219,6 +1219,50 @@ def tile_ingest_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "tile_pyramid",
+    f"""{_PTS_CTE}
+SELECT 0 AS level, {cell_id_sql('x', 'y', TILE_RES)} AS cell_id, COUNT(*) AS n_docs
+FROM pts GROUP BY 2
+UNION ALL
+SELECT 1 AS level, {cell_id_sql('x', 'y', TILE_RES * 2)} AS cell_id, COUNT(*) AS n_docs
+FROM pts GROUP BY 2
+UNION ALL
+SELECT 2 AS level, {cell_id_sql('x', 'y', TILE_RES * 4)} AS cell_id, COUNT(*) AS n_docs
+FROM pts GROUP BY 2""",
+)
+def tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution tile rollup (hypertable / H3-compaction analog):
+    per-tile doc counts at 3 resolutions. The engine derives each coarser
+    level FROM THE CHILD LEVEL'S COUNTS via ``parent_cell`` id arithmetic —
+    level k+1 aggregates 4× fewer rows than level k and the raw points are
+    scanned exactly once (the 100 TB shape: a pyramid over a petabyte table
+    costs one scan + geometrically-shrinking shuffles). The oracle encodes
+    every level directly from the points; equality is exact by the floor
+    composition law (functions/cells.py::parent_cell)."""
+    from parallelcovertree_spark.functions.cells import cell_id, parent_cell
+
+    pts = _doc_points(spark, sf_dir)
+    l0 = pts.groupBy(cell_id("x", "y", TILE_RES).alias("cell_id")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    l1 = l0.groupBy(parent_cell("cell_id").alias("cell_id")).agg(
+        F.sum("n_docs").alias("n_docs")
+    )
+    l2 = l1.groupBy(parent_cell("cell_id").alias("cell_id")).agg(
+        F.sum("n_docs").alias("n_docs")
+    )
+    out = None
+    for lvl, df in enumerate((l0, l1, l2)):
+        part = df.select(
+            F.lit(lvl).cast("int").alias("level"),
+            "cell_id",
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@_register(
     "ball_radii",
     "SELECT n_nationkey AS level, POW(2.0, -CAST(n_nationkey AS DOUBLE)) AS ball FROM nation",
 )

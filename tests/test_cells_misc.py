@@ -46,3 +46,23 @@ def test_two_table_epsilon_join(spark):
     d2 = ((qxy[:, None, :] - cxy[None, :, :]) ** 2).sum(axis=2)
     want = {(int(a), int(b)) for a, b in zip(*np.nonzero(d2 <= 1.2 * 1.2))}
     assert got == want
+
+
+def test_parent_cell_equals_direct_coarse_encoding(spark):
+    """Floor composition law incl. negative coords: deriving the parent
+    from the CHILD CELL ID equals encoding the point at double resolution."""
+    import numpy as np
+
+    from parallelcovertree_spark.functions.cells import cell_id, parent_cell
+
+    rng = np.random.default_rng(3)
+    pts = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in rng.normal(0, 5, size=(500, 2))],
+        "x double, y double",
+    )
+    for res in (0.7, 2.0):
+        df = pts.select(
+            parent_cell(cell_id("x", "y", res)).alias("derived"),
+            cell_id("x", "y", res * 2).alias("direct"),
+        )
+        assert df.where("derived != direct").count() == 0

@@ -1263,6 +1263,49 @@ def tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "purchase_last_click",
+    """WITH r AS (
+  SELECT user_id, EPOCH_US(ts) AS rts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), l AS (
+  SELECT event_id AS purchase_id, user_id, EPOCH_US(ts) AS lts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.purchase_id, l.user_id,
+       COALESCE(r.click_id, -1) AS last_click_id
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.lts >= r.rts""",
+)
+def purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event attached to the user's most recent
+    click at-or-before it (-1 when none) — the temporal point-in-time
+    operator Spark lacks natively, composed as ONE union + window shuffle
+    (`operators/asof.py`; no pair replication, no range join). The oracle
+    is DuckDB's native ASOF LEFT JOIN over the identically-deduped click
+    side. Epoch micros via tz-free NTZ arithmetic on both sides."""
+    from parallelcovertree_spark.operators.asof import asof_join_backward
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type",
+        F.expr(NTZ_EPOCH_US.format(ts="ts")).cast("long").alias("us"),
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "us")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "us"
+    )
+    out = asof_join_backward(
+        purchases, clicks, key="user_id", ts="us", payload_cols=["click_id"]
+    )
+    return out.select(
+        "purchase_id", "user_id",
+        F.coalesce(F.col("click_id"), F.lit(-1)).cast("long").alias("last_click_id"),
+    )
+
+
+@_register(
     "ball_radii",
     "SELECT n_nationkey AS level, POW(2.0, -CAST(n_nationkey AS DOUBLE)) AS ball FROM nation",
 )

@@ -173,3 +173,28 @@ def test_minhash_min_band_wins_is_distinct_and_complete(spark):
                     want.add((a, b))
                     break
     assert got == want and len(want) > 0
+
+
+def test_asof_join_backward_semantics(spark):
+    """Inclusive match at equal ts, latest-prior otherwise, NULL when no
+    prior right row; plan is union+window — no join node, one shuffle."""
+    from parallelcovertree_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 5, 102), (3, 7, 103)],
+        "k long, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 900), (1, 15, 901), (2, 6, 902)],
+        "k long, t long, rid long",
+    )
+    out = asof_join_backward(left, right, key="k", ts="t", payload_cols=["rid"])
+    got = {(r.lid, r.rid) for r in out.collect()}
+    assert got == {
+        (100, 900),   # equal ts: inclusive
+        (101, 901),   # latest prior (15 beats 10)
+        (102, None),  # right row is LATER -> no match
+        (103, None),  # key has no right rows at all
+    }
+    plan = _plan(out)
+    assert "Join" not in plan and "Window" in plan

@@ -1306,6 +1306,46 @@ def purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "errors_after_purchase",
+    """WITH l AS (
+  SELECT event_id AS purchase_id, user_id, EPOCH_US(ts) AS lts
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT event_id AS error_id, user_id, EPOCH_US(ts) AS rts
+  FROM events WHERE event_type = 'error'
+)
+SELECT l.purchase_id, r.error_id
+FROM l JOIN r ON l.user_id = r.user_id
+               AND r.rts BETWEEN l.lts AND l.lts + 600000000""",
+)
+def errors_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: every error within 10 minutes AFTER a
+    purchase by the same user — Flink's interval join, executed as the
+    1-D grid trick (`operators/rangejoin.py`): left rows explode to ≤ 2
+    time buckets, right rows sit in exactly one, bucket equi-join emits
+    each pair once, exact window filter in codegen. The naive key-only
+    equi-join (the oracle's plan) is quadratic in hot users at scale."""
+    from parallelcovertree_spark.operators.rangejoin import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type",
+        F.expr(NTZ_EPOCH_US.format(ts="ts")).cast("long").alias("us"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("us").alias("lts"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id",
+        F.col("us").alias("rts"),
+    )
+    return interval_join(
+        purchases, errors, key="user_id", left_ts="lts", right_ts="rts",
+        lower=0, upper=600_000_000,
+    ).select("purchase_id", "error_id")
+
+
+@_register(
     "ball_radii",
     "SELECT n_nationkey AS level, POW(2.0, -CAST(n_nationkey AS DOUBLE)) AS ball FROM nation",
 )

@@ -198,3 +198,34 @@ def test_asof_join_backward_semantics(spark):
     }
     plan = _plan(out)
     assert "Join" not in plan and "Window" in plan
+
+
+def test_interval_join_matches_brute_force(spark):
+    """Bucketed interval join == brute-force window filter on dense random
+    data, incl. inclusive boundaries and negative lower bounds."""
+    import numpy as np
+
+    from parallelcovertree_spark.operators.rangejoin import interval_join
+
+    rng = np.random.RandomState(11)
+    lrows = [(int(rng.randint(0, 5)), int(rng.randint(0, 1000)), i)
+             for i in range(300)]
+    rrows = [(int(rng.randint(0, 5)), int(rng.randint(0, 1000)), 1000 + i)
+             for i in range(300)]
+    left = spark.createDataFrame(lrows, "k long, lts long, lid long")
+    right = spark.createDataFrame(rrows, "k long, rts long, rid long")
+    for lower, upper in ((0, 50), (-30, 30), (17, 63)):
+        got = {
+            (r.lid, r.rid)
+            for r in interval_join(
+                left, right, key="k", left_ts="lts", right_ts="rts",
+                lower=lower, upper=upper,
+            ).collect()
+        }
+        want = {
+            (lid, rid)
+            for lk, lts, lid in lrows
+            for rk, rts, rid in rrows
+            if lk == rk and lts + lower <= rts <= lts + upper
+        }
+        assert got == want and len(want) > 0, (lower, upper)

@@ -60,6 +60,19 @@ def token_count(text_col: str = "text") -> Column:
     return F.expr(TOKEN_COUNT_SQL.format(t=text_col))
 
 
+# BPE-ish pre-tokenizer (GPT-2-style, simplified to the Java-regex ∩ RE2
+# common subset so Spark and DuckDB count identically): letter runs, digit
+# runs, and single non-alphanumeric marks each count as one token — the
+# budget estimator an LLM-data pipeline actually bills by, vs the
+# whitespace count above which undercounts punctuation-heavy text.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(text_col: str = "text") -> Column:
+    """BPE-ish regex token count (JVM-side ``regexp_count``, codegen)."""
+    return F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE)).cast("long")
+
+
 def occurrences_sql(t: str, word: str) -> str:
     """Count of a marker substring via the replace-length trick (SQL-parity)."""
     pad = f"' ' || {t} || ' '"

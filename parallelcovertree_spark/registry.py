@@ -250,6 +250,24 @@ def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "token_count_bpe",
+    "SELECT doc_id, CAST(LEN(regexp_extract_all(text, "
+    "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens "
+    "FROM documents",
+)
+def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token count (functions/text.py::bpe_token_count) —
+    letter runs / digit runs / single marks, the token-budget estimator;
+    pattern restricted to the Java-regex ∩ RE2 subset so both engines
+    count identically."""
+    from parallelcovertree_spark.functions.text import bpe_token_count
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", bpe_token_count("text").alias("n_tokens")
+    )
+
+
+@_register(
     "quality_score",
     f"""SELECT doc_id,
        {TOKEN_COUNT_SQL.format(t='text')} AS n_tokens,

@@ -37,6 +37,14 @@ def interval_join(
     ``lower < upper``, integer timestamps). Returns left columns + right
     columns (caller projects/aliases; names must not collide)."""
     assert upper > lower
+    if left_ts == right_ts or {c for c in left.columns if c != key} & {
+        c for c in right.columns if c != key
+    }:
+        raise ValueError(
+            "interval_join: left/right column names must be disjoint apart "
+            f"from the key (got left={left.columns}, right={right.columns}) "
+            "— alias before joining"
+        )
     w = int(upper - lower)
     lb = F.floor((F.col(left_ts) + F.lit(lower)).cast("double") / F.lit(float(w))).cast("long")
     ub = F.floor((F.col(left_ts) + F.lit(upper)).cast("double") / F.lit(float(w))).cast("long")

@@ -48,6 +48,17 @@ def asof_join_backward(
     must both carry ``key`` and ``ts``; ``right`` must be unique per
     (key, ts)."""
     lcols = [c for c in left.columns]
+    reserved = {"_k", "_ts", "_side", "_r", "_m"}
+    if reserved & set(lcols) or reserved & set(right.columns):
+        raise ValueError(
+            f"asof_join_backward: column names {sorted(reserved)} are "
+            "reserved internally — rename before joining"
+        )
+    if set(payload_cols) & set(lcols):
+        raise ValueError(
+            "asof_join_backward: payload columns collide with left columns "
+            f"({sorted(set(payload_cols) & set(lcols))}) — alias first"
+        )
     # the right payload travels as ONE struct so every attached column comes
     # from the SAME matched right row (per-column last(ignorenulls) could
     # mix rows when right data itself holds NULLs)

@@ -85,7 +85,7 @@ def _bucket_group(n_bands: int):
             """pairs (existing member, new doc) surviving min-band-wins."""
             if not len(cand_ids):
                 return
-            ok = np.ones(len(cand_ids), dtype=bool)
+            ok = cand_ids != nid  # a re-ingested doc never pairs with itself
             for j in range(band):  # earlier bands must NOT match
                 ok &= cand_keys[:, j] != nkey[j]
             if ok.any():

@@ -23,6 +23,7 @@ from parallelcovertree_spark.functions import geo
 from parallelcovertree_spark.functions.cells import cell_id, cell_id_sql
 from parallelcovertree_spark.functions.text import (
     LANG_MARKERS,
+    QUALITY_SQL,
     TOKEN_COUNT_SQL,
     TOKEN_HASH_SQL,
     lang_score_sql,
@@ -246,6 +247,49 @@ def covertree_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id", F.expr(TOKEN_COUNT_SQL.format(t="text")).alias("n_tokens")
+    )
+
+
+_STOPWORDS = "'the','a','of','and','to','in','is','for','on','it'"
+_PUNCT = ".,!?;:"
+
+
+@_register(
+    "doc_quality_profile",
+    f"""SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(LENGTH(text) - LENGTH(TRANSLATE(text, '{_PUNCT}', '')) AS DOUBLE)
+         / CAST(LENGTH(text) + 1 AS DOUBLE) AS punct_ratio,
+       CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                            x -> x IN ({_STOPWORDS}))) AS DOUBLE)
+         / CAST({TOKEN_COUNT_SQL.format(t='text')} AS DOUBLE) AS stopword_ratio,
+       {QUALITY_SQL.format(tok=TOKEN_COUNT_SQL.format(t='text'), t='text')}
+         AS token_density
+FROM documents""",
+)
+def doc_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full quality profile per SURVEY's pipeline brief — length, punct
+    ratio, stopword ratio, token density. Every double is the same IEEE
+    division of the same integer counts in both engines (translate-based
+    punct count, lambda-filtered stopword count — JVM higher-order filter
+    on Spark, list_filter on DuckDB; both engine-side, no UDF)."""
+    stop_list = [s.strip("'") for s in _STOPWORDS.split(",")]
+    toks = F.split(F.col("text"), " ")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*stop_list))
+    ).cast("double")
+    n_tok = F.expr(TOKEN_COUNT_SQL.format(t="text")).cast("double")
+    n_punct = (
+        F.length("text") - F.length(F.translate(F.col("text"), _PUNCT, ""))
+    ).cast("double")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        (n_punct / (F.length("text") + F.lit(1)).cast("double")).alias("punct_ratio"),
+        (n_stop / n_tok).alias("stopword_ratio"),
+        F.expr(
+            QUALITY_SQL.format(tok=TOKEN_COUNT_SQL.format(t="text"), t="text")
+        ).alias("token_density"),
     )
 
 

@@ -1,0 +1,182 @@
+"""Corpus-level term statistics for training-data pipelines.
+
+The operators a web-scale LM-data pipeline runs over its document table after
+dedup/quality filtering: vocabulary document-frequency, per-document TF-IDF
+term selection, repetition-based quality stats (the Gopher/C4 family of
+filters), benchmark-contamination screening, and deterministic stratified
+sampling for language rebalancing.
+
+All plans are pure Catalyst (JVM codegen, no Python in the hot path) and
+follow the two-level aggregation pattern: tokens are first combined per
+(doc_id, term) — map-side partial aggregation absorbs the explode fan-out —
+and only the compact per-doc-term counts shuffle on the term key. At 100 TB
+the shuffle volume is bounded by the distinct (doc, term) pair count, never
+by raw token volume.
+
+Cross-engine parity: every output value is an integer, a string, or a double
+produced by one IEEE division of two integers, so DuckDB oracles match
+bit-for-bit. The stratified sampler keys on sha2-256 (identical hex in both
+engines) — deterministic, partition-count-independent, and reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "doc_term_freq",
+    "term_doc_freq",
+    "tfidf_top_terms",
+    "repetition_stats",
+    "contamination_check",
+    "stratified_sample",
+]
+
+
+def _tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per token occurrence. Empty tokens (double spaces) dropped on
+    both engine and oracle sides."""
+    return (
+        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+
+
+def doc_term_freq(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term, tf): per-document term frequency.
+
+    The explode fan-out is absorbed by map-side partial aggregation on
+    (doc_id, term) — within an input partition a document's tokens are
+    co-located, so the shuffle carries one row per distinct (doc, term)."""
+    return _tokens(docs, text_col, id_col).groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def term_doc_freq(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(term, doc_freq, total_tf): vocabulary document-frequency table.
+
+    Built from the per-doc tf table (not raw tokens), so the term-keyed
+    shuffle moves distinct (doc, term) rows only. doc_freq is a plain count
+    (no countDistinct expansion) because the input is already distinct per
+    (doc, term)."""
+    tf = doc_term_freq(docs, text_col, id_col)
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.sum("tf").alias("total_tf"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf, doc_freq, rank): top-k TF-IDF terms per document.
+
+    Score order is tf/df (equivalent to tf·idf for ranking — the corpus-size
+    factor is constant per corpus); computed as one IEEE double division of
+    two bigints so rank ties and orderings are bit-identical cross-engine.
+    Ties broken by term. The tf⋈df join shuffles both sides on the term key
+    (hash join, no broadcast assumption: at web scale the vocabulary —
+    hapaxes included — does not fit a broadcast)."""
+    tf = doc_term_freq(docs, text_col, id_col)
+    df = term_doc_freq(docs, text_col, id_col).select("term", "doc_freq")
+    scored = tf.join(df, "term").withColumn(
+        "_score", F.col("tf").cast("double") / F.col("doc_freq")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "rank")
+    )
+
+
+def corpus_bigrams(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(bigram, cnt, doc_freq): corpus word-bigram statistics — the n-gram
+    table behind contamination screens and n-gram LM baselines.
+
+    Bigrams form over RAW token adjacency inside the array (no cross-doc
+    pairs); a pair touching an empty token (double space) is dropped, so a
+    run-length break never fabricates an adjacency. The whole extraction is
+    one codegen higher-order-function pass (split → transform+filter →
+    explode): tokens never leave the JVM, and the shuffle carries per-doc
+    bigram partials only (map-side combine on the groupBy)."""
+    toks = docs.select(id_col, F.split(F.col(text_col), " ").alias("toks"))
+    pairs = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "filter(transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (t, i) -> IF(t <> '' AND toks[i + 1] <> '',"
+                " concat(t, ' ', toks[i + 1]), NULL)), x -> x IS NOT NULL)"
+            )
+        ).alias("bigram"),
+    )
+    per_doc = pairs.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("tf"))
+    return per_doc.groupBy("bigram").agg(
+        F.sum("tf").alias("cnt"), F.count(F.lit(1)).alias("doc_freq")
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, top_tf, dup_ratio): Gopher-style
+    repetition quality profile. dup_ratio = (n_tokens - n_distinct)/n_tokens
+    — the fraction of tokens that repeat an earlier token; high values flag
+    boilerplate/spam for corpus filtering (Rae et al. 2021 §A1 style)."""
+    tf = doc_term_freq(docs, text_col, id_col)
+    agg = tf.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("tf").alias("top_tf"),
+    )
+    return agg.withColumn(
+        "dup_ratio",
+        (F.col("n_tokens") - F.col("n_distinct")).cast("double") / F.col("n_tokens"),
+    )
+
+
+def contamination_check(
+    docs: DataFrame, fragments: list[tuple[int, str]], text_col: str = "text",
+    id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, frag_id): documents containing any benchmark fragment as a
+    raw substring — eval-set contamination screening.
+
+    Plan: broadcast nested-loop join of the (tiny, fixed) fragment list
+    against the corpus scan with a codegen `instr` predicate — one corpus
+    pass, no shuffle. Substring (not token) semantics: a fragment crossing
+    token boundaries still hits, matching how eval strings leak into crawls.
+    For fragment lists beyond a few thousand, swap the inner predicate for an
+    Aho-Corasick pandas-UDF pass (same output contract)."""
+    spark = docs.sparkSession
+    frags = spark.createDataFrame(fragments, "frag_id INT, frag STRING")
+    return (
+        docs.join(F.broadcast(frags), F.expr(f"instr({text_col}, frag) > 0"))
+        .select(id_col, "frag_id")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, lang_thresholds: dict[str, int], default_threshold: int,
+    text_col: str = "text", id_col: str = "doc_id", lang_col: str = "lang",
+) -> DataFrame:
+    """(doc_id, lang, bucket): deterministic per-language downsampling.
+
+    A doc is kept iff its 32-bit content bucket — the first 8 hex digits of
+    sha2-256(text) — is below its language's threshold (rate·2^32). Content
+    hashing (not doc_id) makes the sample stable under re-ingestion and
+    re-partitioning, and exact duplicates sample identically, so the sampled
+    corpus needs no re-dedup. Pure map-side filter: no shuffle, and the
+    predicate sits in the scan's codegen stage."""
+    bucket = F.conv(F.substring(F.sha2(F.col(text_col), 256), 1, 8), 16, 10).cast("bigint")
+    thr = F.lit(default_threshold)
+    for lang, t in sorted(lang_thresholds.items()):
+        thr = F.when(F.col(lang_col) == lang, F.lit(t)).otherwise(thr)
+    return (
+        docs.withColumn("bucket", bucket)
+        .where(F.col("bucket") < thr)
+        .select(id_col, lang_col, "bucket")
+    )

@@ -598,6 +598,189 @@ def fingerprint_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus term statistics / pipeline ops (operators/corpus.py) ---------------
+
+# Shared token CTE: one row per non-empty token, then per-(doc, term) counts.
+_TOK_CTE = """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tok AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term
+)"""
+
+
+@_register(
+    "corpus_term_df",
+    f"""{_TOK_CTE}
+SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq, CAST(SUM(tf) AS BIGINT) AS total_tf
+FROM tf GROUP BY term
+""",
+)
+def corpus_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary document-frequency table — the corpus-statistics pass every
+    LM-data pipeline runs (IDF tables, vocab pruning). Two-level aggregation:
+    the explode fan-out is combined map-side per (doc, term) before the
+    term-keyed shuffle (operators/corpus.py)."""
+    from parallelcovertree_spark.operators.corpus import term_doc_freq
+
+    return term_doc_freq(_docs(spark, sf_dir))
+
+
+@_register(
+    "tfidf_top_terms",
+    f"""{_TOK_CTE},
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+         CAST(tf.tf AS DOUBLE) / df.doc_freq AS score
+  FROM tf JOIN df USING (term)
+),
+r AS (
+  SELECT doc_id, term, tf, doc_freq,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM s
+)
+SELECT doc_id, term, tf, doc_freq, rank FROM r WHERE rank <= 3
+""",
+)
+def tfidf_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Rank order tf/df (one IEEE division
+    of two bigints — bit-identical cross-engine), term tie-break; the tf⋈df
+    join is term-keyed hash both sides (vocab never assumed broadcastable)."""
+    from parallelcovertree_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+@_register(
+    "corpus_bigrams",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+i AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+p AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM i WHERE toks[i] <> '' AND toks[i + 1] <> ''
+),
+d AS (SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS tf FROM p GROUP BY doc_id, bigram)
+SELECT bigram, CAST(SUM(tf) AS BIGINT) AS cnt, CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM d GROUP BY bigram
+""",
+)
+def corpus_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word-bigram table (count + document frequency). Extraction is
+    one codegen HOF pass (split → transform+filter → explode) — tokens never
+    leave the JVM; empty-adjacent pairs dropped identically on both engines."""
+    from parallelcovertree_spark.operators.corpus import corpus_bigrams
+
+    return corpus_bigrams(_docs(spark, sf_dir))
+
+
+@_register(
+    "doc_repetition_stats",
+    f"""{_TOK_CTE},
+a AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(tf) AS BIGINT) AS top_tf
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct, top_tf,
+       CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_ratio
+FROM a
+""",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality profile (duplicate-token fraction,
+    most-frequent-token count) — the repetition leg of corpus filtering."""
+    from parallelcovertree_spark.operators.corpus import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+_CONTAM_FRAGS = [
+    (0, "hash join"),
+    (1, "table scan"),
+    (2, "sort merge"),
+    (3, "window agg"),
+    (4, "stream filter"),
+]
+_CONTAM_VALUES = ", ".join(f"({i}, '{s}')" for i, s in _CONTAM_FRAGS)
+
+
+@_register(
+    "contamination_check",
+    f"""SELECT d.doc_id, f.frag_id
+FROM documents d JOIN (VALUES {_CONTAM_VALUES}) AS f(frag_id, frag)
+  ON strpos(d.text, f.frag) > 0
+""",
+)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination screen: docs containing any benchmark fragment
+    as a raw substring. Broadcast nested-loop with a codegen instr predicate
+    — one corpus pass, no shuffle (operators/corpus.py)."""
+    from parallelcovertree_spark.operators.corpus import contamination_check
+
+    return contamination_check(_docs(spark, sf_dir), _CONTAM_FRAGS)
+
+
+# rate·2^32 thresholds: en 0.3, de/es 0.5, fr/zh 0.75 — downsample the
+# dominant languages, keep the tail. Exact integers: no float compare.
+_SAMPLE_THRESHOLDS = {
+    "en": 1288490188,
+    "de": 2147483648,
+    "es": 2147483648,
+    "fr": 3221225472,
+    "zh": 3221225472,
+}
+_SAMPLE_DEFAULT = 4294967296
+_SAMPLE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lang}' THEN {t}" for lang, t in sorted(_SAMPLE_THRESHOLDS.items()))
+    + f" ELSE {_SAMPLE_DEFAULT} END"
+)
+
+
+@_register(
+    "stratified_sample",
+    f"""WITH b AS (
+  SELECT doc_id, lang,
+         CAST(CAST(('0x' || substr(sha256(text), 1, 8)) AS UBIGINT) AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket FROM b WHERE bucket < {_SAMPLE_CASE}
+""",
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling keyed on sha2-256(text):
+    stable under re-ingestion/re-partitioning, exact duplicates sample
+    identically, pure map-side filter in the scan's codegen stage."""
+    from parallelcovertree_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), _SAMPLE_THRESHOLDS, _SAMPLE_DEFAULT)
+
+
+@_register(
+    "domain_stats",
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source
+""",
+)
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl profile (docs, bytes, language spread) — the
+    per-source accounting pass of a crawl pipeline. Plain hash aggregation;
+    count-distinct expands to (source, lang) partials, never raw rows."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+    )
+
+
 # --- point-in-polygon + raster↔vector tiles ------------------------------------
 
 _POLY_ID_EXPR = "(n_nationkey * 131 + 7)"

@@ -1,0 +1,117 @@
+"""Corpus-statistics operators (operators/corpus.py) vs pure-Python twins."""
+
+from collections import Counter
+
+import pytest
+
+from parallelcovertree_spark.operators.corpus import (
+    contamination_check,
+    corpus_bigrams,
+    repetition_stats,
+    stratified_sample,
+    term_doc_freq,
+    tfidf_top_terms,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat", "en"),
+    (1, "the dog  sat", "en"),          # double space → empty token dropped
+    (2, "cat cat cat", "en"),
+    (3, "der hund und die katze", "de"),
+    (4, "the cat sat on the mat", "en"),  # exact duplicate of doc 0
+    (5, "solo", "fr"),
+    (6, "", "en"),                     # empty text: absent from every token op
+]
+
+
+def _toks(text):
+    return [t for t in text.split(" ") if t]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(i, t, lang) for i, t, lang in DOCS], "doc_id LONG, text STRING, lang STRING"
+    ).repartition(4)
+
+
+def test_term_doc_freq_matches_counter(docs_df):
+    got = {r["term"]: (r["doc_freq"], r["total_tf"]) for r in term_doc_freq(docs_df).collect()}
+    df_exp, tf_exp = Counter(), Counter()
+    for _, text, _ in DOCS:
+        c = Counter(_toks(text))
+        for t, n in c.items():
+            df_exp[t] += 1
+            tf_exp[t] += n
+    assert got == {t: (df_exp[t], tf_exp[t]) for t in df_exp}
+
+
+def test_tfidf_top_terms_matches_brute_force(docs_df):
+    dfreq = Counter()
+    for _, text, _ in DOCS:
+        for t in set(_toks(text)):
+            dfreq[t] += 1
+    expect = {}
+    for i, text, _ in DOCS:
+        tf = Counter(_toks(text))
+        ranked = sorted(tf, key=lambda t: (-(tf[t] / dfreq[t]), t))[:2]
+        if ranked:  # tokenless docs are absent, not empty-listed
+            expect[i] = [(t, tf[t], dfreq[t]) for t in ranked]
+    rows = tfidf_top_terms(docs_df, k=2).collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r["doc_id"], r["rank"])):
+        got.setdefault(r["doc_id"], []).append((r["term"], r["tf"], r["doc_freq"]))
+    assert got == expect
+
+
+def test_corpus_bigrams_matches_brute_force(docs_df):
+    cnt, dfreq = Counter(), Counter()
+    for _, text, _ in DOCS:
+        raw = text.split(" ")  # raw adjacency: empty-adjacent pairs dropped
+        grams = [
+            f"{a} {b}" for a, b in zip(raw, raw[1:]) if a and b
+        ]
+        cnt.update(grams)
+        for g in set(grams):
+            dfreq[g] += 1
+    got = {r["bigram"]: (r["cnt"], r["doc_freq"]) for r in corpus_bigrams(docs_df).collect()}
+    assert got == {g: (cnt[g], dfreq[g]) for g in cnt}
+    # doc 1 'the dog  sat': the double space breaks adjacency — no 'dog sat'
+    assert "dog sat" not in got and ("the dog" in got)
+
+
+def test_repetition_stats_math(docs_df):
+    rows = {r["doc_id"]: r for r in repetition_stats(docs_df).collect()}
+    assert 6 not in rows  # tokenless doc: absent, no 0/0 division
+    for i, text, _ in DOCS:
+        toks = _toks(text)
+        if not toks:
+            continue
+        c = Counter(toks)
+        r = rows[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_distinct"] == len(c)
+        assert r["top_tf"] == max(c.values())
+        assert r["dup_ratio"] == (len(toks) - len(c)) / len(toks)
+
+
+def test_contamination_substring_semantics(docs_df):
+    # 'cat sat' crosses a token boundary; 'at on' starts mid-token — both are
+    # substring hits by design (eval strings leak into crawls untokenized).
+    frags = [(0, "cat sat"), (1, "at on"), (2, "absent phrase")]
+    got = sorted((r["doc_id"], r["frag_id"]) for r in contamination_check(docs_df, frags).collect())
+    assert got == [(0, 0), (0, 1), (4, 0), (4, 1)]
+
+
+def test_stratified_sample_deterministic_and_duplicate_stable(docs_df):
+    thr = {"en": 2147483648, "de": 4294967296, "fr": 4294967296}
+    a = sorted(stratified_sample(docs_df, thr, 4294967296).collect())
+    b = sorted(stratified_sample(docs_df.repartition(7), thr, 4294967296).collect())
+    assert a == b  # partition-count independent
+    kept = {r["doc_id"]: r["bucket"] for r in a}
+    # non-en languages keep everything (threshold 2^32)
+    assert {3, 5} <= set(kept)
+    # exact duplicates (docs 0 and 4) hash identically: both in or both out
+    assert (0 in kept) == (4 in kept)
+    for r in a:
+        assert 0 <= r["bucket"] < 4294967296

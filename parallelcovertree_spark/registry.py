@@ -1025,6 +1025,41 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "training_manifest",
+    # the full pipeline composed: clean_corpus (dedup keepers ∧ lang ∧
+    # quality) → deterministic stratified sample → token-counted manifest
+    None,  # oracle attached below (composes the clean_corpus oracle)
+)
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition — what a training run actually reads: the
+    cleaned corpus (near-dup cluster keepers ∧ lang-ID ∧ quality, i.e.
+    `clean_corpus`) pushed through the deterministic per-language stratified
+    sampler, emitted as (doc_id, lang, n_tokens, bucket). Every stage is the
+    already-gated operator; the join back to documents is doc_id-keyed hash;
+    the sample predicate is map-side."""
+    m = clean_corpus(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    bucket = F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 8), 16, 10).cast("bigint")
+    thr = F.lit(_SAMPLE_DEFAULT)
+    for lang_, t in sorted(_SAMPLE_THRESHOLDS.items()):
+        thr = F.when(F.col("lang") == lang_, F.lit(t)).otherwise(thr)
+    return (
+        m.join(docs, "doc_id")
+        .withColumn("bucket", bucket)
+        .where(F.col("bucket") < thr)
+        .select("doc_id", "lang", "n_tokens", "bucket")
+    )
+
+
+_ORACLES["training_manifest"] = f"""SELECT * FROM (
+  SELECT m.doc_id, d.lang, m.n_tokens,
+         CAST(CAST(('0x' || substr(sha256(d.text), 1, 8)) AS UBIGINT) AS BIGINT) AS bucket
+  FROM ({{clean}}) m JOIN documents d ON m.doc_id = d.doc_id
+) t WHERE bucket < {_SAMPLE_CASE}
+""".format(clean=_ORACLES["clean_corpus"])
+
+
 # --- similarity search over embeddings (ANN) ----------------------------------
 
 _ANN_DIM = 64
@@ -1396,6 +1431,74 @@ def events_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.col("_b") / F.lit(1_000_000)).cast("long").alias("bucket"),
             "event_type", "n_events", "sum_cents",
+        )
+    )
+
+
+@_register(
+    "event_value_percentiles",
+    """WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50,
+       MAX(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS p95,
+       MAX(value) AS max_value,
+       CAST(MAX(n) AS BIGINT) AS n
+FROM r GROUP BY event_type
+""",
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles by NEAREST RANK (value at ceil(p·n) in the
+    (value, event_id) order) — rank selection, no interpolation arithmetic,
+    so outputs are stored doubles and parity is exact. The per-group sort is
+    the honest cost of exact percentiles; at 100 TB the few-distinct-groups
+    skew makes approx_percentile (t-digest partial agg) the scale path —
+    this gate pins the exact semantics approx must converge to."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    r = (
+        ev.select("event_type", "value", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+    )
+    return r.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.5).cast("bigint"), F.col("value"))).alias("p50"),
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * 0.95).cast("bigint"), F.col("value"))).alias("p95"),
+        F.max("value").alias("max_value"),
+        F.max("n").alias("n"),
+    )
+
+
+@_register(
+    "props_json_histogram",
+    """WITH k AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv FROM events
+)
+SELECT CAST(FLOOR(kv / 10.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       MIN(kv) AS min_k, MAX(kv) AS max_k
+FROM k GROUP BY bucket
+""",
+)
+def props_json_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column processing: extract a field from the JSON
+    `props` payload (JVM `get_json_object`, codegen — no Python) and
+    histogram it into deciles. The extraction stays inside the scan's
+    WholeStageCodegen; only (bucket, partial counts) shuffle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kv = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select(kv.alias("kv"))
+        .groupBy(F.floor(F.col("kv") / F.lit(10.0)).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("kv").alias("min_k"),
+            F.max("kv").alias("max_k"),
         )
     )
 

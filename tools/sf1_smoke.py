@@ -86,7 +86,7 @@ QUADRATIC_ORACLES = {
 # q_minhash_dedup / q_minhash_dedup_engine at sf0.1 in bench.py.
 DUP_DENSITY_QUADRATIC = {
     "minhash_dup_pairs", "minhash_dup_pairs_engine", "simhash_dup_pairs",
-    "ngram_jaccard_dups", "dedup_clusters", "clean_corpus",
+    "ngram_jaccard_dups", "dedup_clusters", "clean_corpus", "training_manifest",
     "embedding_neardup",
 }
 

@@ -1436,6 +1436,90 @@ def events_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "lineitem_rollup",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets aggregation (ROLLUP): subtotal + grand-total rows in one
+    pass — Catalyst expands to a single Expand + hash aggregate, so the scan
+    happens once and partials combine map-side at every grouping level.
+    Money in integer cents (the returnflag_summary discipline) so sums are
+    order-independent."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.select("l_returnflag", "l_linestatus", cents.alias("_c"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("_c").alias("sum_cents"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_cents", "n",
+        )
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_register(
+    "event_type_pivot",
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id",
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event-type counts as columns. The pinned
+    pivot value list keeps the plan a single-pass conditional aggregation —
+    no second scan to discover categories, which is what an unpinned pivot
+    costs; missing cells are 0 (not null) to match conditional-count
+    semantics."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@_register(
+    "events_minute_gapfill",
+    """WITH m AS (SELECT EPOCH_US(ts) // 60000000 AS minute FROM events),
+c AS (SELECT minute, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY minute),
+b AS (SELECT MIN(minute) AS lo, MAX(minute) AS hi FROM m),
+g AS (SELECT unnest(range(lo, hi + 1)) AS minute FROM b)
+SELECT g.minute, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM g LEFT JOIN c USING (minute)
+""",
+)
+def events_minute_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (the hypertable `time_bucket_gapfill`
+    analog): per-minute counts with empty minutes zero-filled. The dense
+    minute grid is generated ENGINE-SIDE (sequence + explode off the
+    one-row min/max aggregate — no driver collect, no data-proportional
+    state); integer epoch arithmetic on the NTZ column keeps bucket ids
+    tz-independent. Grid size is time-span-bounded, not row-bounded, so the
+    left join stays cheap at any corpus scale."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = ev.select(F.expr(f"({NTZ_EPOCH_US.format(ts='ts')}) DIV 60000000").alias("minute"))
+    counts = m.groupBy("minute").agg(F.count(F.lit(1)).alias("n"))
+    bounds = m.agg(F.min("minute").alias("lo"), F.max("minute").alias("hi"))
+    grid = bounds.select(F.explode(F.sequence("lo", "hi")).alias("minute"))
+    return grid.join(counts, "minute", "left").select(
+        "minute", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events")
+    )
+
+
+@_register(
     "event_value_percentiles",
     """WITH r AS (
   SELECT event_type, value,

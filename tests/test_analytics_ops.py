@@ -4,7 +4,13 @@ import json
 
 import numpy as np
 
-from parallelcovertree_spark.registry import event_value_percentiles, props_json_histogram
+from parallelcovertree_spark.registry import (
+    event_type_pivot,
+    event_value_percentiles,
+    events_minute_gapfill,
+    lineitem_rollup,
+    props_json_histogram,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -28,6 +34,43 @@ def test_percentiles_are_nearest_rank_values(spark):
         assert r["max_value"] == vals[-1]
         # nearest-rank percentiles are actual data values, never interpolated
         assert r["p50"] in vals and r["p95"] in vals
+
+
+def test_gapfill_grid_is_dense_and_count_preserving(spark):
+    rows = sorted(events_minute_gapfill(spark, SF).collect())
+    minutes = [r["minute"] for r in rows]
+    assert minutes == list(range(minutes[0], minutes[-1] + 1))  # dense grid
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == n_events  # nothing lost/dup'd
+    assert any(r["n_events"] == 0 for r in rows)  # gaps actually zero-filled
+
+
+def test_rollup_levels_are_consistent(spark):
+    rows = lineitem_rollup(spark, SF).collect()
+    detail = [r for r in rows if r["returnflag"] != "ALL" and r["linestatus"] != "ALL"]
+    subtot = {r["returnflag"]: r for r in rows
+              if r["returnflag"] != "ALL" and r["linestatus"] == "ALL"}
+    grand = [r for r in rows if r["returnflag"] == "ALL"]
+    assert len(grand) == 1 and grand[0]["linestatus"] == "ALL"
+    assert grand[0]["n"] == sum(r["n"] for r in detail)
+    assert grand[0]["sum_cents"] == sum(r["sum_cents"] for r in detail)
+    for flag, s in subtot.items():
+        mine = [r for r in detail if r["returnflag"] == flag]
+        assert s["n"] == sum(r["n"] for r in mine)
+
+
+def test_pivot_counts_match_long_form(spark):
+    wide = {r["user_id"]: r for r in event_type_pivot(spark, SF).collect()}
+    long = spark.read.parquet(f"{SF}/events.parquet").groupBy(
+        "user_id", "event_type"
+    ).count().collect()
+    expect = {}
+    for r in long:
+        expect.setdefault(r["user_id"], {})[r["event_type"]] = r["count"]
+    assert set(wide) == set(expect)
+    for uid, row in wide.items():
+        for t in ["click", "error", "purchase", "signup", "view"]:
+            assert row[t] == expect[uid].get(t, 0)
 
 
 def test_props_histogram_matches_json_parse(spark):

@@ -12,7 +12,13 @@ lineage"):
 - **partition pruning**: data is hive-partitioned by a chosen column; reads
   with a partition predicate prune directories (verified via
   ``PartitionFilters`` in the scan plan);
-- **per-partition lineage**: each manifest records per-partition row counts.
+- **per-partition lineage**: each manifest records per-partition row counts;
+- **copy-on-write MERGE / DELETE** (Iceberg's v2-table core): ``merge``
+  upserts by key and ``delete`` removes by predicate, rewriting ONLY the
+  partitions they touch; untouched partitions are *referenced* from the
+  parent snapshot's directories in the child manifest (file reuse — the
+  Iceberg manifest mechanism), so a merge touching 1 of 1000 partitions
+  writes 1/1000th of the table and earlier snapshots stay readable.
 """
 
 from __future__ import annotations
@@ -20,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +52,27 @@ class SnapshotTable:
         h = self.history()
         return h[-1]["snapshot_id"] if h else None
 
+    def _manifest(self, snapshot_id: int) -> dict:
+        with open(self._manifest_path(snapshot_id)) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path(manifest["snapshot_id"]) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(manifest["snapshot_id"]))  # atomic
+
+    @staticmethod
+    def _partition_dirs(data_dir: str, partition_by: str) -> dict[str, str]:
+        """value → hive dir, discovered from the written layout (one listdir
+        of the snapshot dir — O(partitions), never O(rows))."""
+        prefix = f"{partition_by}="
+        out = {}
+        for name in sorted(os.listdir(data_dir)):
+            if name.startswith(prefix):
+                out[name[len(prefix):]] = f"{data_dir}/{name}"
+        return out
+
     def commit(self, df: DataFrame, partition_by: str | None = None) -> int:
         """Write a new immutable snapshot; returns its id. The manifest
         rename is the atomic commit point."""
@@ -60,8 +88,10 @@ class SnapshotTable:
                 df.groupBy(partition_by).agg(F.count(F.lit(1)).alias("rows")).collect()
             )
             lineage = {str(r[0]): r.rows for r in lineage_rows}
+            part_dirs = self._partition_dirs(data_dir, partition_by)
         else:
             lineage = {"*": df.count()}
+            part_dirs = None
         manifest = {
             "snapshot_id": snap_id,
             "parent_id": prev,
@@ -69,18 +99,177 @@ class SnapshotTable:
             "data_dir": data_dir,
             "partition_by": partition_by,
             "partition_rows": lineage,
+            "partition_dirs": part_dirs,
             "total_rows": sum(lineage.values()),
         }
-        tmp = self._manifest_path(snap_id) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(snap_id))  # atomic commit
+        self._write_manifest(manifest)
         return snap_id
+
+    # --- copy-on-write row-level operations -----------------------------------
+
+    def merge(
+        self, spark: SparkSession, updates: DataFrame, key_col: str,
+        prune: bool = True,
+    ) -> int:
+        """Upsert ``updates`` by ``key_col`` as a new snapshot (Iceberg
+        copy-on-write MERGE): matched keys are replaced, unmatched keys
+        inserted. With ``prune=True`` (default) only partitions present in
+        ``updates`` are rewritten; every other partition directory is
+        REFERENCED from the parent manifest unchanged. That contract assumes
+        the partition value is a stable function of the key (the engine's
+        layouts: tile-of-point, lang-of-doc) — a key that MOVES partitions
+        must use ``prune=False`` (full rewrite) or its old row would survive
+        in the untouched partition."""
+        man = self._manifest(self.latest_snapshot_id())
+        pcol = man["partition_by"]
+        prev_id = man["snapshot_id"]
+        snap_id = prev_id + 1
+        data_dir = f"{self.path}/snap-{snap_id:012d}"
+
+        if pcol is None or not prune or not man.get("partition_dirs"):
+            base = self.read(spark)
+            new_data = base.join(
+                updates.select(key_col), key_col, "left_anti"
+            ).unionByName(updates)
+            # full rewrite path — same layout as a plain commit
+            writer = new_data.write.mode("errorifexists")
+            if pcol:
+                writer = writer.partitionBy(pcol)
+            writer.parquet(data_dir)
+            if pcol:
+                part_dirs = self._partition_dirs(data_dir, pcol)
+                lineage = self._count_dirs(spark, data_dir, part_dirs)
+            else:
+                part_dirs, lineage = None, {"*": spark.read.parquet(data_dir).count()}
+            rewritten = sorted(lineage)
+        else:
+            # touched partitions: O(#partitions) driver state, never O(rows)
+            touched = sorted(
+                str(r[0]) for r in updates.select(pcol).distinct().collect()
+            )
+            old_dirs = [man["partition_dirs"][v] for v in touched
+                        if v in man["partition_dirs"]]
+            keep = None
+            if old_dirs:
+                old = self._read_dirs(spark, old_dirs)
+                keep = old.join(updates.select(key_col), key_col, "left_anti")
+            new_data = (
+                keep.unionByName(updates) if keep is not None else updates
+            )
+            new_data.write.mode("errorifexists").partitionBy(pcol).parquet(data_dir)
+            written = self._partition_dirs(data_dir, pcol)
+            part_dirs = dict(man["partition_dirs"])  # inherit untouched
+            part_dirs.update(written)
+            lineage = dict(man["partition_rows"])
+            lineage.update(self._count_dirs(spark, data_dir, written))
+            rewritten = sorted(written)
+
+        self._write_manifest({
+            "snapshot_id": snap_id,
+            "parent_id": prev_id,
+            "committed_at": time.time(),
+            "data_dir": data_dir,
+            "partition_by": pcol,
+            "partition_rows": lineage,
+            "partition_dirs": part_dirs,
+            "rewritten_partitions": rewritten,
+            "total_rows": sum(lineage.values()),
+        })
+        return snap_id
+
+    def delete(self, spark: SparkSession, predicate: str) -> int:
+        """Copy-on-write DELETE: drop rows matching the SQL ``predicate`` in
+        a new snapshot. Only partitions that actually contain matches are
+        rewritten; the rest are referenced from the parent."""
+        man = self._manifest(self.latest_snapshot_id())
+        pcol = man["partition_by"]
+        prev_id = man["snapshot_id"]
+        snap_id = prev_id + 1
+        data_dir = f"{self.path}/snap-{snap_id:012d}"
+
+        if pcol is None or not man.get("partition_dirs"):
+            new_data = self.read(spark).where(f"NOT ({predicate})")
+            new_data.write.mode("errorifexists").parquet(data_dir)
+            self._write_manifest({
+                "snapshot_id": snap_id, "parent_id": prev_id,
+                "committed_at": time.time(), "data_dir": data_dir,
+                "partition_by": None,
+                "partition_rows": {"*": spark.read.parquet(data_dir).count()},
+                "partition_dirs": None, "rewritten_partitions": ["*"],
+                "total_rows": spark.read.parquet(data_dir).count(),
+            })
+            return snap_id
+
+        # find partitions with matches — a pruned aggregate, O(partitions) out
+        hits = (
+            self.read(spark).where(predicate).select(pcol).distinct().collect()
+        )
+        touched = sorted(str(r[0]) for r in hits)
+        if not touched:  # no-op delete still commits (audit trail)
+            self._write_manifest({**man, "snapshot_id": snap_id,
+                                  "parent_id": prev_id,
+                                  "committed_at": time.time(),
+                                  "rewritten_partitions": []})
+            return snap_id
+        old = self._read_dirs(spark, [man["partition_dirs"][v] for v in touched])
+        new_data = old.where(f"NOT ({predicate})")
+        new_data.write.mode("errorifexists").partitionBy(pcol).parquet(data_dir)
+        written = self._partition_dirs(data_dir, pcol)
+        part_dirs = dict(man["partition_dirs"])
+        lineage = dict(man["partition_rows"])
+        for v in touched:  # a fully-deleted partition vanishes
+            part_dirs.pop(v, None)
+            lineage.pop(v, None)
+        part_dirs.update(written)
+        lineage.update(self._count_dirs(spark, data_dir, written))
+        self._write_manifest({
+            "snapshot_id": snap_id, "parent_id": prev_id,
+            "committed_at": time.time(), "data_dir": data_dir,
+            "partition_by": pcol, "partition_rows": lineage,
+            "partition_dirs": part_dirs, "rewritten_partitions": touched,
+            "total_rows": sum(lineage.values()),
+        })
+        return snap_id
+
+    # --- readers ---------------------------------------------------------------
+
+    @staticmethod
+    def _read_dirs(spark: SparkSession, dirs: list[str]) -> DataFrame:
+        """Read hive partition dirs, re-deriving the partition column. Dirs
+        are grouped by their snapshot root so Spark gets one multi-path scan
+        per generation (not one job per partition)."""
+        by_base: dict[str, list[str]] = {}
+        for d in dirs:
+            by_base.setdefault(os.path.dirname(d), []).append(d)
+        parts = [
+            spark.read.option("basePath", base).parquet(*ds)
+            for base, ds in sorted(by_base.items())
+        ]
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def _count_dirs(self, spark: SparkSession, data_dir: str,
+                    part_dirs: dict[str, str]) -> dict[str, int]:
+        if not part_dirs:
+            return {}
+        # per-partition-value counts: one scan of just the written dirs
+        pcol_dir = next(iter(part_dirs.values()))
+        pcol = os.path.basename(pcol_dir).split("=", 1)[0]
+        counted = (
+            spark.read.option("basePath", data_dir)
+            .parquet(*part_dirs.values())
+            .groupBy(pcol).agg(F.count(F.lit(1)).alias("rows")).collect()
+        )
+        return {str(r[0]): r.rows for r in counted}
 
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         sid = snapshot_id if snapshot_id is not None else self.latest_snapshot_id()
         if sid is None:
             raise FileNotFoundError(f"no snapshots in {self.path}")
-        with open(self._manifest_path(sid)) as f:
-            manifest = json.load(f)
+        manifest = self._manifest(sid)
+        dirs = manifest.get("partition_dirs")
+        if dirs and any(
+            not d.startswith(manifest["data_dir"] + "/") for d in dirs.values()
+        ):
+            # merge/delete snapshot referencing parent partitions: assemble
+            return self._read_dirs(spark, list(dirs.values()))
         return spark.read.parquet(manifest["data_dir"])

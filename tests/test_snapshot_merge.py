@@ -1,0 +1,91 @@
+"""Copy-on-write MERGE / DELETE on the Iceberg-style SnapshotTable:
+partition-granularity rewrites, manifest-level reuse of untouched partition
+directories, time travel across row-level operations."""
+
+import pytest
+
+from parallelcovertree_spark.sources.snapshots import SnapshotTable
+
+
+def _rows(df):
+    return sorted((r["id"], r["grp"], r["val"]) for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)],
+        "id LONG, grp STRING, val LONG",
+    )
+    t.commit(base, partition_by="grp")
+    return t
+
+
+def test_merge_upserts_and_reuses_untouched_partitions(spark, table):
+    updates = spark.createDataFrame(
+        [(2, "a", 21), (5, "a", 50), (6, "c", 60)], "id LONG, grp STRING, val LONG"
+    )
+    sid = table.merge(spark, updates, key_col="id")
+    got = _rows(table.read(spark))
+    assert got == [(1, "a", 10), (2, "a", 21), (3, "b", 30), (4, "b", 40),
+                   (5, "a", 50), (6, "c", 60)]
+    man = table.history()[-1]
+    assert man["snapshot_id"] == sid
+    assert man["rewritten_partitions"] == ["a", "c"]
+    # the untouched partition is REFERENCED from the parent snapshot's dir
+    assert "snap-000000000001" in man["partition_dirs"]["b"]
+    assert "snap-000000000002" in man["partition_dirs"]["a"]
+    assert man["partition_rows"] == {"a": 3, "b": 2, "c": 1}
+    assert man["total_rows"] == 6
+    # time travel: the parent snapshot still reads the original data
+    assert _rows(table.read(spark, snapshot_id=1)) == [
+        (1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "b", 40)]
+
+
+def test_merge_chain_keeps_reusing(spark, table):
+    u1 = spark.createDataFrame([(1, "a", 11)], "id LONG, grp STRING, val LONG")
+    u2 = spark.createDataFrame([(3, "b", 31)], "id LONG, grp STRING, val LONG")
+    table.merge(spark, u1, key_col="id")
+    table.merge(spark, u2, key_col="id")
+    man = table.history()[-1]
+    # third snapshot references partition a from the SECOND snapshot's dirs
+    assert "snap-000000000002" in man["partition_dirs"]["a"]
+    assert "snap-000000000003" in man["partition_dirs"]["b"]
+    assert _rows(table.read(spark)) == [(1, "a", 11), (2, "a", 20),
+                                        (3, "b", 31), (4, "b", 40)]
+
+
+def test_delete_rewrites_only_matching_partitions(spark, table):
+    sid = table.delete(spark, "val = 10")
+    man = table.history()[-1]
+    assert man["snapshot_id"] == sid
+    assert man["rewritten_partitions"] == ["a"]
+    assert "snap-000000000001" in man["partition_dirs"]["b"]
+    assert _rows(table.read(spark)) == [(2, "a", 20), (3, "b", 30), (4, "b", 40)]
+    assert man["total_rows"] == 3
+    # fully-deleted partition disappears from the manifest
+    table.delete(spark, "grp = 'a'")
+    man2 = table.history()[-1]
+    assert "a" not in man2["partition_dirs"]
+    assert _rows(table.read(spark)) == [(3, "b", 30), (4, "b", 40)]
+
+
+def test_noop_delete_commits_audit_snapshot(spark, table):
+    before = _rows(table.read(spark))
+    sid = table.delete(spark, "val = 999")
+    man = table.history()[-1]
+    assert man["snapshot_id"] == sid and man["rewritten_partitions"] == []
+    assert _rows(table.read(spark)) == before
+
+
+def test_merge_unpartitioned_is_full_rewrite(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "flat"))
+    base = spark.createDataFrame([(1, "a", 10), (2, "b", 20)],
+                                 "id LONG, grp STRING, val LONG")
+    t.commit(base)
+    upd = spark.createDataFrame([(2, "b", 21), (3, "c", 30)],
+                                "id LONG, grp STRING, val LONG")
+    t.merge(spark, upd, key_col="id")
+    assert _rows(t.read(spark)) == [(1, "a", 10), (2, "b", 21), (3, "c", 30)]
+    assert t.history()[-1]["total_rows"] == 3

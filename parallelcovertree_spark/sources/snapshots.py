@@ -73,7 +73,8 @@ class SnapshotTable:
                 out[name[len(prefix):]] = f"{data_dir}/{name}"
         return out
 
-    def commit(self, df: DataFrame, partition_by: str | None = None) -> int:
+    def commit(self, df: DataFrame, partition_by: str | None = None,
+               meta: dict | None = None) -> int:
         """Write a new immutable snapshot; returns its id. The manifest
         rename is the atomic commit point."""
         prev = self.latest_snapshot_id()
@@ -101,6 +102,7 @@ class SnapshotTable:
             "partition_rows": lineage,
             "partition_dirs": part_dirs,
             "total_rows": sum(lineage.values()),
+            "app_meta": meta,
         }
         self._write_manifest(manifest)
         return snap_id
@@ -109,7 +111,7 @@ class SnapshotTable:
 
     def merge(
         self, spark: SparkSession, updates: DataFrame, key_col: str,
-        prune: bool = True,
+        prune: bool = True, meta: dict | None = None,
     ) -> int:
         """Upsert ``updates`` by ``key_col`` as a new snapshot (Iceberg
         copy-on-write MERGE): matched keys are replaced, unmatched keys
@@ -174,6 +176,7 @@ class SnapshotTable:
             "partition_dirs": part_dirs,
             "rewritten_partitions": rewritten,
             "total_rows": sum(lineage.values()),
+            "app_meta": meta,
         })
         return snap_id
 
@@ -230,6 +233,45 @@ class SnapshotTable:
             "total_rows": sum(lineage.values()),
         })
         return snap_id
+
+    # --- maintenance -----------------------------------------------------------
+
+    def compact(self, spark: SparkSession) -> int:
+        """Materialize the current snapshot into one self-contained directory
+        (Iceberg rewrite_data_files): after many merges a snapshot's
+        partitions scatter across generations; compaction rewrites them into
+        a single fresh snap dir so reads are one clean scan again. History
+        is preserved — compaction is just another snapshot."""
+        man = self._manifest(self.latest_snapshot_id())
+        return self.commit(self.read(spark), partition_by=man["partition_by"])
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the last ``keep_last`` manifests and delete snap dirs
+        no surviving manifest references (Iceberg expire_snapshots). A dir
+        referenced by ANY kept manifest — including via merge file-reuse —
+        survives; reachability is computed over partition_dirs, not
+        snapshot ids. Returns the expired snapshot ids."""
+        import shutil
+
+        hist = self.history()
+        if len(hist) <= keep_last:
+            return []
+        kept, dropped = hist[-keep_last:], hist[:-keep_last]
+        reachable: set[str] = set()
+        for man in kept:
+            if man.get("partition_dirs"):
+                for d in man["partition_dirs"].values():
+                    reachable.add(os.path.dirname(d))
+            reachable.add(man["data_dir"])
+        expired = []
+        for man in dropped:
+            os.remove(self._manifest_path(man["snapshot_id"]))
+            expired.append(man["snapshot_id"])
+        for name in sorted(os.listdir(self.path)):
+            full = f"{self.path}/{name}"
+            if name.startswith("snap-") and full not in reachable:
+                shutil.rmtree(full, ignore_errors=True)
+        return expired
 
     # --- readers ---------------------------------------------------------------
 

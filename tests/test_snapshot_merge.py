@@ -79,6 +79,33 @@ def test_noop_delete_commits_audit_snapshot(spark, table):
     assert _rows(table.read(spark)) == before
 
 
+def test_compact_then_expire_keeps_current_data_only(spark, table):
+    u = spark.createDataFrame([(2, "a", 21)], "id LONG, grp STRING, val LONG")
+    table.merge(spark, u, key_col="id")          # snap 2, reuses b from snap 1
+    want = _rows(table.read(spark))
+    table.compact(spark)                          # snap 3, self-contained
+    assert _rows(table.read(spark)) == want
+    expired = table.expire_snapshots(keep_last=1)
+    assert expired == [1, 2]
+    # old snap dirs are gone, current read still intact
+    import os
+    remaining = [n for n in os.listdir(table.path) if n.startswith("snap-")]
+    assert remaining == ["snap-000000000003"]
+    assert _rows(table.read(spark)) == want
+
+
+def test_expire_preserves_dirs_reused_by_kept_manifests(spark, table):
+    u = spark.createDataFrame([(2, "a", 21)], "id LONG, grp STRING, val LONG")
+    table.merge(spark, u, key_col="id")          # snap 2 references snap 1's b
+    want = _rows(table.read(spark))
+    expired = table.expire_snapshots(keep_last=1)
+    assert expired == [1]
+    import os
+    # snap 1's dir SURVIVES: the kept merge manifest still references its b
+    assert "snap-000000000001" in os.listdir(table.path)
+    assert _rows(table.read(spark)) == want
+
+
 def test_merge_unpartitioned_is_full_rewrite(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "flat"))
     base = spark.createDataFrame([(1, "a", 10), (2, "b", 20)],

@@ -103,6 +103,25 @@ def test_contamination_substring_semantics(docs_df):
     assert got == [(0, 0), (0, 1), (4, 0), (4, 1)]
 
 
+def test_unicode_text_parity(spark):
+    """Multi-byte UTF-8 through the token ops and the sha2 sampler: Spark
+    hashes/tokenizes the UTF-8 bytes — pin against hashlib/str twins so the
+    cross-engine contract (DuckDB sha256 also hashes UTF-8) holds beyond
+    ASCII."""
+    import hashlib
+
+    rows = [(0, "héllo wörld héllo", "de"), (1, "日本語 テスト", "ja"),
+            (2, "café café naïve", "fr")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    got = {r["term"]: (r["doc_freq"], r["total_tf"]) for r in term_doc_freq(df).collect()}
+    assert got["héllo"] == (1, 2) and got["日本語"] == (1, 1) and got["café"] == (1, 2)
+    sample = {r["doc_id"]: r["bucket"]
+              for r in stratified_sample(df, {}, 4294967296).collect()}
+    for i, text, _ in rows:
+        want = int(hashlib.sha256(text.encode("utf-8")).hexdigest()[:8], 16)
+        assert sample[i] == want
+
+
 def test_stratified_sample_deterministic_and_duplicate_stable(docs_df):
     thr = {"en": 2147483648, "de": 4294967296, "fr": 4294967296}
     a = sorted(stratified_sample(docs_df, thr, 4294967296).collect())

@@ -138,6 +138,76 @@ def repetition_stats(
     )
 
 
+def sequence_packing(
+    docs: DataFrame, block: int = 1024, text_col: str = "text",
+    id_col: str = "doc_id", shard_col: str = "lang",
+) -> DataFrame:
+    """Training-sequence assembly (concat-then-chunk): within each shard,
+    documents concatenate in id order and split into fixed ``block``-token
+    sequences; each doc reports where its tokens land —
+    (doc_id, shard, n_tokens, start_seq, start_offset, end_seq).
+
+    Pure integer window math (running token sum per shard), so parity is
+    exact. Sharding is the scale story: packing is order-dependent, so the
+    global order is (shard, id) and the window sorts WITHIN shards —
+    per-shard parallel sort, no global single-partition sort. Docs may span
+    sequence boundaries (start_seq < end_seq), which is the standard
+    LM-pretraining packing semantics."""
+    tok = F.expr(
+        f"CAST((LENGTH({text_col}) - LENGTH(REPLACE({text_col}, ' ', ''))) + 1 AS BIGINT)"
+    )
+    w = Window.partitionBy(shard_col).orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d = docs.select(id_col, shard_col, tok.alias("n_tokens"))
+    d = d.withColumn("_cum", F.sum("n_tokens").over(w))
+    d = d.withColumn("_start", F.col("_cum") - F.col("n_tokens"))
+    # integer division on BOTH engines (DuckDB's double->int CAST rounds,
+    # Spark's truncates — never divide then cast)
+    return d.select(
+        id_col, shard_col, "n_tokens",
+        F.expr(f"_start DIV {block}").alias("start_seq"),
+        F.expr(f"_start % {block}").alias("start_offset"),
+        F.expr(f"(_cum - 1) DIV {block}").alias("end_seq"),
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame, eval_texts: list[tuple[int, str]], n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, eval_id, n_shared): docs sharing any word n-gram with an
+    eval-set text — the published n-gram-overlap contamination method
+    (GPT-3 appendix C uses 13-grams; n is a parameter). Doc n-grams build
+    in one codegen HOF pass, eval n-grams broadcast (eval sets are small
+    by definition); the join is an n-gram equi-join, so cost is
+    (matching n-grams), never docs × evals."""
+    spark = docs.sparkSession
+    ev = spark.createDataFrame(eval_texts, "eval_id INT, etext STRING")
+
+    # n-grams from the split array; grams touching an empty token dropped
+    def gram_rows(df: DataFrame, idc: str, col: str, out: str) -> DataFrame:
+        toks = df.select(idc, F.split(F.col(col), " ").alias("_t"))
+        return toks.select(
+            idc,
+            F.explode(
+                F.expr(
+                    f"filter(transform(slice(_t, 1, greatest(size(_t) - {n - 1}, 0)),"
+                    f" (x, i) -> IF(exists(slice(_t, i + 1, {n}), e -> e = ''),"
+                    f" NULL, concat_ws(' ', slice(_t, i + 1, {n})))), x -> x IS NOT NULL)"
+                )
+            ).alias(out),
+        ).distinct()
+
+    dg = gram_rows(docs, id_col, text_col, "g")
+    eg = gram_rows(ev, "eval_id", "etext", "g")
+    return (
+        dg.join(F.broadcast(eg), "g")
+        .groupBy(id_col, "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 def contamination_check(
     docs: DataFrame, fragments: list[tuple[int, str]], text_col: str = "text",
     id_col: str = "doc_id"

@@ -696,6 +696,70 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_docs(spark, sf_dir))
 
 
+@_register(
+    "sequence_packing",
+    """WITH d AS (
+  SELECT doc_id, lang,
+         CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT doc_id, lang, n_tokens,
+       CAST((cum - n_tokens) // 1024 AS BIGINT) AS start_seq,
+       CAST((cum - n_tokens) % 1024 AS BIGINT) AS start_offset,
+       CAST((cum - 1) // 1024 AS BIGINT) AS end_seq
+FROM c
+""",
+)
+def sequence_packing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence assembly (concat-then-chunk, 1024-token blocks,
+    sharded by lang): per-doc landing position via a per-shard running token
+    sum — integer window math, per-shard parallel sort, no global sort."""
+    from parallelcovertree_spark.operators.corpus import sequence_packing
+
+    return sequence_packing(_docs(spark, sf_dir), block=1024)
+
+
+@_register(
+    "ngram_contamination",
+    """WITH ev AS (
+  SELECT CAST(doc_id AS INT) AS eval_id, text AS etext FROM documents WHERE doc_id % 97 = 0
+),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+ti AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM t),
+dg AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+  FROM ti WHERE toks[i] <> '' AND toks[i + 1] <> '' AND toks[i + 2] <> ''
+),
+e AS (SELECT eval_id, string_split(etext, ' ') AS toks FROM ev),
+ei AS (SELECT eval_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM e),
+eg AS (
+  SELECT DISTINCT eval_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+  FROM ei WHERE toks[i] <> '' AND toks[i + 1] <> '' AND toks[i + 2] <> ''
+)
+SELECT dg.doc_id, eg.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM dg JOIN eg USING (g) GROUP BY dg.doc_id, eg.eval_id
+""",
+)
+def ngram_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-overlap contamination (the published method — GPT-3 app. C
+    style, 3-grams at this corpus' doc length): docs sharing any word
+    3-gram with the eval set (docs ≡ 0 mod 97). Eval grams broadcast; the
+    doc side is one codegen HOF pass + distinct; join cost is matching
+    grams, never docs × evals."""
+    from parallelcovertree_spark.operators.corpus import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text").collect()
+    eval_texts = [(int(r["doc_id"]), r["text"]) for r in ev]
+    return ngram_contamination(docs, eval_texts, n=3)
+
+
 _CONTAM_FRAGS = [
     (0, "hash join"),
     (1, "table scan"),

@@ -7,6 +7,8 @@ import pytest
 from parallelcovertree_spark.operators.corpus import (
     contamination_check,
     corpus_bigrams,
+    ngram_contamination,
+    sequence_packing,
     repetition_stats,
     stratified_sample,
     term_doc_freq,
@@ -101,6 +103,44 @@ def test_contamination_substring_semantics(docs_df):
     frags = [(0, "cat sat"), (1, "at on"), (2, "absent phrase")]
     got = sorted((r["doc_id"], r["frag_id"]) for r in contamination_check(docs_df, frags).collect())
     assert got == [(0, 0), (0, 1), (4, 0), (4, 1)]
+
+
+def test_sequence_packing_spans(spark):
+    # 3 docs in one shard, block=5: tokens 3 + 4 + 2 concat to 9 tokens
+    # → doc 1 crosses the block boundary (tokens 3..6 span seqs 0 and 1)
+    df = spark.createDataFrame(
+        [(0, "a b c", "en"), (1, "d e f g", "en"), (2, "h i", "en"),
+         (3, "x y z w v u", "de")],  # separate shard restarts at seq 0
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    got = {r["doc_id"]: r for r in sequence_packing(df, block=5).collect()}
+    assert (got[0]["start_seq"], got[0]["start_offset"], got[0]["end_seq"]) == (0, 0, 0)
+    assert (got[1]["start_seq"], got[1]["start_offset"], got[1]["end_seq"]) == (0, 3, 1)
+    assert (got[2]["start_seq"], got[2]["start_offset"], got[2]["end_seq"]) == (1, 2, 1)
+    assert (got[3]["start_seq"], got[3]["start_offset"], got[3]["end_seq"]) == (0, 0, 1)
+
+
+def test_ngram_contamination_matches_brute_force(docs_df):
+    evals = [(0, "the cat sat"), (1, "cat cat cat cat"), (2, "und die katze x")]
+    got = sorted((r["doc_id"], r["eval_id"], r["n_shared"])
+                 for r in ngram_contamination(docs_df, evals, n=3).collect())
+
+    def grams(text):
+        raw = text.split(" ")
+        return {
+            " ".join(raw[i:i + 3]) for i in range(len(raw) - 2)
+            if all(raw[i + j] for j in range(3))
+        }
+
+    expect = []
+    for did, text, _ in DOCS:
+        dg = grams(text)
+        for eid, etext in evals:
+            shared = dg & grams(etext)
+            if shared:
+                expect.append((did, eid, len(shared)))
+    assert got == sorted(expect)
+    assert (0, 0, 1) in got  # doc 0 shares exactly 'the cat sat' with eval 0
 
 
 def test_unicode_text_parity(spark):

@@ -28,8 +28,11 @@ __all__ = [
     "doc_term_freq",
     "term_doc_freq",
     "tfidf_top_terms",
+    "corpus_bigrams",
     "repetition_stats",
     "contamination_check",
+    "ngram_contamination",
+    "sequence_packing",
     "stratified_sample",
 ]
 
@@ -79,8 +82,11 @@ def tfidf_top_terms(
     Ties broken by term. The tf⋈df join shuffles both sides on the term key
     (hash join, no broadcast assumption: at web scale the vocabulary —
     hapaxes included — does not fit a broadcast)."""
+    # ONE token pass: df derives from the same tf lineage (mirrors the
+    # oracle's shared tf CTE) — building df via term_doc_freq(docs) would
+    # tokenize and aggregate the corpus twice
     tf = doc_term_freq(docs, text_col, id_col)
-    df = term_doc_freq(docs, text_col, id_col).select("term", "doc_freq")
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     scored = tf.join(df, "term").withColumn(
         "_score", F.col("tf").cast("double") / F.col("doc_freq")
     )
@@ -153,8 +159,12 @@ def sequence_packing(
     per-shard parallel sort, no global single-partition sort. Docs may span
     sequence boundaries (start_seq < end_seq), which is the standard
     LM-pretraining packing semantics."""
+    # NON-EMPTY token count — must agree with this module's tokenizer
+    # (_tokens drops empty split results): the spaces+1 formula would count
+    # phantom tokens on double-space/empty docs and shift every later doc's
+    # packing position in the shard
     tok = F.expr(
-        f"CAST((LENGTH({text_col}) - LENGTH(REPLACE({text_col}, ' ', ''))) + 1 AS BIGINT)"
+        f"CAST(size(filter(split({text_col}, ' '), x -> x != '')) AS BIGINT)"
     )
     w = Window.partitionBy(shard_col).orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -164,11 +174,13 @@ def sequence_packing(
     d = d.withColumn("_start", F.col("_cum") - F.col("n_tokens"))
     # integer division on BOTH engines (DuckDB's double->int CAST rounds,
     # Spark's truncates — never divide then cast)
+    # greatest(.., _start) pins zero-token docs to end_seq == start_seq
+    # instead of a degenerate previous-block id
     return d.select(
         id_col, shard_col, "n_tokens",
         F.expr(f"_start DIV {block}").alias("start_seq"),
         F.expr(f"_start % {block}").alias("start_offset"),
-        F.expr(f"(_cum - 1) DIV {block}").alias("end_seq"),
+        F.expr(f"greatest(_cum - 1, _start) DIV {block}").alias("end_seq"),
     )
 
 

@@ -700,7 +700,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence_packing",
     """WITH d AS (
   SELECT doc_id, lang,
-         CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT) AS n_tokens
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
   FROM documents
 ),
 c AS (
@@ -712,7 +712,7 @@ c AS (
 SELECT doc_id, lang, n_tokens,
        CAST((cum - n_tokens) // 1024 AS BIGINT) AS start_seq,
        CAST((cum - n_tokens) % 1024 AS BIGINT) AS start_offset,
-       CAST((cum - 1) // 1024 AS BIGINT) AS end_seq
+       CAST(GREATEST(cum - 1, cum - n_tokens) // 1024 AS BIGINT) AS end_seq
 FROM c
 """,
 )
@@ -1102,18 +1102,15 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampler, emitted as (doc_id, lang, n_tokens, bucket). Every stage is the
     already-gated operator; the join back to documents is doc_id-keyed hash;
     the sample predicate is map-side."""
+    from parallelcovertree_spark.operators.corpus import stratified_sample
+
     m = clean_corpus(spark, sf_dir)
-    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text")
-    bucket = F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 8), 16, 10).cast("bigint")
-    thr = F.lit(_SAMPLE_DEFAULT)
-    for lang_, t in sorted(_SAMPLE_THRESHOLDS.items()):
-        thr = F.when(F.col("lang") == lang_, F.lit(t)).otherwise(thr)
-    return (
-        m.join(docs, "doc_id")
-        .withColumn("bucket", bucket)
-        .where(F.col("bucket") < thr)
-        .select("doc_id", "lang", "n_tokens", "bucket")
+    # reuse the GATED sampler operator (same bucket math + thresholds as
+    # the stratified_sample gate — one definition, no drift)
+    sample = stratified_sample(
+        _docs(spark, sf_dir), _SAMPLE_THRESHOLDS, _SAMPLE_DEFAULT
     )
+    return m.join(sample, "doc_id").select("doc_id", "lang", "n_tokens", "bucket")
 
 
 _ORACLES["training_manifest"] = f"""SELECT * FROM (
@@ -1503,6 +1500,7 @@ def events_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_rollup",
     """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS lvl,
        CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -1513,17 +1511,25 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass — Catalyst expands to a single Expand + hash aggregate, so the scan
     happens once and partials combine map-side at every grouping level.
     Money in integer cents (the returnflag_summary discipline) so sums are
-    order-independent."""
+    order-independent. ``lvl`` is the GROUPING() marker (0 detail,
+    1 subtotal, 3 grand total): the 'ALL' sentinels are display only — a
+    NULL or literal-'ALL' group value cannot be confused with a rollup row."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     cents = F.round(F.col("l_extendedprice") * 100).cast("long")
     return (
         li.select("l_returnflag", "l_linestatus", cents.alias("_c"))
         .rollup("l_returnflag", "l_linestatus")
-        .agg(F.sum("_c").alias("sum_cents"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.expr(
+                "CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)"
+            ).alias("lvl"),
+            F.sum("_c").alias("sum_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "sum_cents", "n",
+            "lvl", "sum_cents", "n",
         )
     )
 

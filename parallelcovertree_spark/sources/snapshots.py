@@ -62,6 +62,46 @@ class SnapshotTable:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(manifest["snapshot_id"]))  # atomic
 
+    _HIVE_SAFE = frozenset(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_. "
+    )
+
+    @classmethod
+    def _check_partition_values(cls, values) -> list[str]:
+        """Pruned row-level ops match partition values against hive dir
+        names by string equality; a value Spark hive-escapes (':' → '%3A')
+        or NULL would silently miss that match — refuse loudly instead of
+        losing rows. Escaping-needing partition values must use
+        ``prune=False`` (or a sanitized partition column)."""
+        out = []
+        for v in values:
+            if v is None:
+                raise ValueError(
+                    "NULL partition value in a pruned row-level operation; "
+                    "use prune=False or a non-null partition column"
+                )
+            s = str(v)
+            if not s or not set(s) <= cls._HIVE_SAFE:
+                raise ValueError(
+                    f"partition value {s!r} needs hive escaping and would "
+                    "not match manifest keys; use prune=False or restrict "
+                    "the partition column to [A-Za-z0-9-_. ]"
+                )
+            out.append(s)
+        return sorted(out)
+
+    def _clear_orphan(self, data_dir: str, snap_id: int) -> None:
+        """A crash between data write and manifest rename leaves an orphan
+        snap dir that would fail the next errorifexists write for the same
+        id — remove it iff no manifest references it (the replay-commits-
+        cleanly half of the foreachBatch contract)."""
+        import shutil
+
+        if os.path.exists(data_dir) and not os.path.exists(
+            self._manifest_path(snap_id)
+        ):
+            shutil.rmtree(data_dir)
+
     @staticmethod
     def _partition_dirs(data_dir: str, partition_by: str) -> dict[str, str]:
         """value → hive dir, discovered from the written layout (one listdir
@@ -80,6 +120,7 @@ class SnapshotTable:
         prev = self.latest_snapshot_id()
         snap_id = (prev or 0) + 1
         data_dir = f"{self.path}/snap-{snap_id:012d}"
+        self._clear_orphan(data_dir, snap_id)
         writer = df.write.mode("errorifexists")
         if partition_by:
             writer = writer.partitionBy(partition_by)
@@ -127,6 +168,7 @@ class SnapshotTable:
         prev_id = man["snapshot_id"]
         snap_id = prev_id + 1
         data_dir = f"{self.path}/snap-{snap_id:012d}"
+        self._clear_orphan(data_dir, snap_id)
 
         if pcol is None or not prune or not man.get("partition_dirs"):
             base = self.read(spark)
@@ -145,9 +187,11 @@ class SnapshotTable:
                 part_dirs, lineage = None, {"*": spark.read.parquet(data_dir).count()}
             rewritten = sorted(lineage)
         else:
-            # touched partitions: O(#partitions) driver state, never O(rows)
-            touched = sorted(
-                str(r[0]) for r in updates.select(pcol).distinct().collect()
+            # touched partitions: O(#partitions) driver state, never O(rows);
+            # values checked hive-safe so string-matching manifest keys is
+            # sound (an escaped value would silently drop the old partition)
+            touched = self._check_partition_values(
+                r[0] for r in updates.select(pcol).distinct().collect()
             )
             old_dirs = [man["partition_dirs"][v] for v in touched
                         if v in man["partition_dirs"]]
@@ -189,17 +233,30 @@ class SnapshotTable:
         prev_id = man["snapshot_id"]
         snap_id = prev_id + 1
         data_dir = f"{self.path}/snap-{snap_id:012d}"
+        self._clear_orphan(data_dir, snap_id)
 
         if pcol is None or not man.get("partition_dirs"):
+            # full rewrite — PRESERVING the table's partition layout (a
+            # legacy partitioned manifest must not come out unpartitioned)
             new_data = self.read(spark).where(f"NOT ({predicate})")
-            new_data.write.mode("errorifexists").parquet(data_dir)
+            writer = new_data.write.mode("errorifexists")
+            if pcol:
+                writer = writer.partitionBy(pcol)
+            writer.parquet(data_dir)
+            if pcol:
+                part_dirs = self._partition_dirs(data_dir, pcol)
+                lineage = self._count_dirs(spark, data_dir, part_dirs)
+            else:
+                part_dirs = None
+                lineage = {"*": spark.read.parquet(data_dir).count()}
             self._write_manifest({
                 "snapshot_id": snap_id, "parent_id": prev_id,
                 "committed_at": time.time(), "data_dir": data_dir,
-                "partition_by": None,
-                "partition_rows": {"*": spark.read.parquet(data_dir).count()},
-                "partition_dirs": None, "rewritten_partitions": ["*"],
-                "total_rows": spark.read.parquet(data_dir).count(),
+                "partition_by": pcol,
+                "partition_rows": lineage,
+                "partition_dirs": part_dirs,
+                "rewritten_partitions": sorted(lineage),
+                "total_rows": sum(lineage.values()),
             })
             return snap_id
 
@@ -207,7 +264,7 @@ class SnapshotTable:
         hits = (
             self.read(spark).where(predicate).select(pcol).distinct().collect()
         )
-        touched = sorted(str(r[0]) for r in hits)
+        touched = self._check_partition_values(r[0] for r in hits)
         if not touched:  # no-op delete still commits (audit trail)
             self._write_manifest({**man, "snapshot_id": snap_id,
                                   "parent_id": prev_id,
@@ -254,9 +311,10 @@ class SnapshotTable:
         import shutil
 
         hist = self.history()
-        if len(hist) <= keep_last:
+        if not hist:
             return []
-        kept, dropped = hist[-keep_last:], hist[:-keep_last]
+        kept = hist[-keep_last:] if keep_last > 0 else []
+        dropped = hist[:-keep_last] if keep_last > 0 else hist
         reachable: set[str] = set()
         for man in kept:
             if man.get("partition_dirs"):
@@ -267,9 +325,21 @@ class SnapshotTable:
         for man in dropped:
             os.remove(self._manifest_path(man["snapshot_id"]))
             expired.append(man["snapshot_id"])
+        # GC runs even when nothing expired: crash orphans (data written,
+        # manifest never renamed) are collectable too. Dirs with an id
+        # ABOVE the newest manifest are skipped — that id range belongs to
+        # a possibly in-flight writer (single-writer discipline; its own
+        # _clear_orphan handles a dead predecessor).
+        max_kept = hist[-1]["snapshot_id"]
         for name in sorted(os.listdir(self.path)):
             full = f"{self.path}/{name}"
-            if name.startswith("snap-") and full not in reachable:
+            if not name.startswith("snap-"):
+                continue
+            try:
+                did = int(name.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            if did <= max_kept and full not in reachable:
                 shutil.rmtree(full, ignore_errors=True)
         return expired
 

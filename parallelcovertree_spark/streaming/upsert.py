@@ -28,8 +28,15 @@ def snapshot_upsert_writer(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         hist = table.history()
-        last_meta = (hist[-1].get("app_meta") or {}) if hist else {}
-        last_batch = last_meta.get("batch_id")
+        # latest committed batch id anywhere in history — an interleaved
+        # compact()/delete()/manual commit (no batch_id) must not defeat
+        # replay detection, so scan back past non-stream manifests
+        last_batch = None
+        for man in reversed(hist):
+            b = (man.get("app_meta") or {}).get("batch_id")
+            if b is not None:
+                last_batch = b
+                break
         if last_batch is not None and batch_id <= last_batch:
             return  # replayed micro-batch after restart — already committed
         if not hist:

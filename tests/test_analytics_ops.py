@@ -47,10 +47,11 @@ def test_gapfill_grid_is_dense_and_count_preserving(spark):
 
 def test_rollup_levels_are_consistent(spark):
     rows = lineitem_rollup(spark, SF).collect()
-    detail = [r for r in rows if r["returnflag"] != "ALL" and r["linestatus"] != "ALL"]
-    subtot = {r["returnflag"]: r for r in rows
-              if r["returnflag"] != "ALL" and r["linestatus"] == "ALL"}
-    grand = [r for r in rows if r["returnflag"] == "ALL"]
+    # lvl is the GROUPING() marker — rollup rows identified structurally,
+    # never by the 'ALL' display sentinel
+    detail = [r for r in rows if r["lvl"] == 0]
+    subtot = {r["returnflag"]: r for r in rows if r["lvl"] == 1}
+    grand = [r for r in rows if r["lvl"] == 3]
     assert len(grand) == 1 and grand[0]["linestatus"] == "ALL"
     assert grand[0]["n"] == sum(r["n"] for r in detail)
     assert grand[0]["sum_cents"] == sum(r["sum_cents"] for r in detail)

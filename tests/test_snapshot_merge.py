@@ -106,6 +106,41 @@ def test_expire_preserves_dirs_reused_by_kept_manifests(spark, table):
     assert _rows(table.read(spark)) == want
 
 
+def test_pruned_ops_refuse_hive_unsafe_partition_values(spark, tmp_path):
+    """A partition value Spark hive-escapes (':' → '%3A') or NULL would
+    silently miss the manifest-key string match and drop the partition's
+    old rows — the guard must refuse loudly; prune=False still works."""
+    t = SnapshotTable(str(tmp_path / "esc"))
+    base = spark.createDataFrame(
+        [(1, "x:y", 10), (2, "b", 20)], "id LONG, grp STRING, val LONG")
+    t.commit(base, partition_by="grp")
+    upd = spark.createDataFrame([(1, "x:y", 11)], "id LONG, grp STRING, val LONG")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="hive escaping"):
+        t.merge(spark, upd, key_col="id")
+    with _pt.raises(ValueError, match="hive escaping"):
+        t.delete(spark, "val = 10")
+    # the unpruned path handles any value
+    t.merge(spark, upd, key_col="id", prune=False)
+    assert _rows(t.read(spark)) == [(1, "x:y", 11), (2, "b", 20)]
+
+
+def test_orphan_snap_dir_does_not_block_next_commit(spark, table):
+    """Crash between data write and manifest rename leaves snap-2 with no
+    manifest; the replayed/next commit must clear it and succeed."""
+    import os
+    orphan = f"{table.path}/snap-{2:012d}"
+    os.makedirs(f"{orphan}/grp=a")  # fake half-written snapshot
+    u = spark.createDataFrame([(2, "a", 21)], "id LONG, grp STRING, val LONG")
+    table.merge(spark, u, key_col="id")  # would fail errorifexists w/o clear
+    assert _rows(table.read(spark)) == [(1, "a", 10), (2, "a", 21),
+                                        (3, "b", 30), (4, "b", 40)]
+    # GC with keep_last=1 also collects nothing it shouldn't
+    table.expire_snapshots(keep_last=1)
+    assert _rows(table.read(spark)) == [(1, "a", 10), (2, "a", 21),
+                                        (3, "b", 30), (4, "b", 40)]
+
+
 def test_merge_unpartitioned_is_full_rewrite(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "flat"))
     base = spark.createDataFrame([(1, "a", 10), (2, "b", 20)],

@@ -52,6 +52,21 @@ def test_stream_upsert_last_write_wins(spark, tmp_path):
     assert hist[-1]["rewritten_partitions"] == ["de", "en"]
 
 
+def test_replay_detection_survives_interleaved_maintenance(spark, tmp_path):
+    """A compact()/manual commit between stream batches writes a manifest
+    without a batch_id; replay detection must scan past it, not just look
+    at the newest manifest."""
+    table = SnapshotTable(str(tmp_path / "tbl3"))
+    w = snapshot_upsert_writer(table, key_col="doc_id", partition_by="lang")
+    b = spark.createDataFrame([(1, "en", "one"), (2, "de", "zwei")], SCHEMA)
+    w(b, 0)
+    table.compact(spark)  # app_meta=None on top of the stream commit
+    n_before = len(table.history())
+    w(b, 0)  # foreachBatch replay after restart
+    assert len(table.history()) == n_before  # no duplicate snapshot
+    assert _rows(table.read(spark)) == [(1, "en", "one"), (2, "de", "zwei")]
+
+
 def test_replayed_batch_id_is_noop(spark, tmp_path):
     table = SnapshotTable(str(tmp_path / "tbl2"))
     w = snapshot_upsert_writer(table, key_col="doc_id", partition_by="lang")

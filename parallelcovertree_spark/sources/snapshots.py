@@ -18,7 +18,10 @@ lineage"):
   partitions they touch; untouched partitions are *referenced* from the
   parent snapshot's directories in the child manifest (file reuse — the
   Iceberg manifest mechanism), so a merge touching 1 of 1000 partitions
-  writes 1/1000th of the table and earlier snapshots stay readable.
+  writes 1/1000th of the table and earlier snapshots stay readable;
+- **add-column schema evolution**: merge updates may carry new columns;
+  partitions written before a column existed read back with NULLs in it
+  (every union in the table is by-name with allowMissingColumns).
 """
 
 from __future__ import annotations
@@ -174,7 +177,7 @@ class SnapshotTable:
             base = self.read(spark)
             new_data = base.join(
                 updates.select(key_col), key_col, "left_anti"
-            ).unionByName(updates)
+            ).unionByName(updates, allowMissingColumns=True)
             # full rewrite path — same layout as a plain commit
             writer = new_data.write.mode("errorifexists")
             if pcol:
@@ -200,7 +203,8 @@ class SnapshotTable:
                 old = self._read_dirs(spark, old_dirs)
                 keep = old.join(updates.select(key_col), key_col, "left_anti")
             new_data = (
-                keep.unionByName(updates) if keep is not None else updates
+                keep.unionByName(updates, allowMissingColumns=True)
+                if keep is not None else updates
             )
             new_data.write.mode("errorifexists").partitionBy(pcol).parquet(data_dir)
             written = self._partition_dirs(data_dir, pcol)
@@ -357,7 +361,11 @@ class SnapshotTable:
             spark.read.option("basePath", base).parquet(*ds)
             for base, ds in sorted(by_base.items())
         ]
-        return reduce(lambda a, b: a.unionByName(b), parts)
+        # allowMissingColumns = add-column schema evolution: partitions
+        # written before a column existed read back with NULLs in it
+        return reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+        )
 
     def _count_dirs(self, spark: SparkSession, data_dir: str,
                     part_dirs: dict[str, str]) -> dict[str, int]:

@@ -79,6 +79,25 @@ def test_noop_delete_commits_audit_snapshot(spark, table):
     assert _rows(table.read(spark)) == before
 
 
+def test_merge_add_column_schema_evolution(spark, table):
+    """Updates carrying a NEW column merge cleanly; partitions written
+    before the column existed read back with NULLs in it (Iceberg
+    add-column evolution)."""
+    upd = spark.createDataFrame(
+        [(2, "a", 21, 0.9)], "id LONG, grp STRING, val LONG, score DOUBLE")
+    table.merge(spark, upd, key_col="id")
+    got = {r["id"]: (r["val"], r["score"]) for r in table.read(spark).collect()}
+    assert got[2] == (21, 0.9)
+    assert got[1] == (10, None) and got[3] == (30, None)  # backfilled NULLs
+    # evolved table still supports further merges and compaction
+    table.merge(spark, spark.createDataFrame(
+        [(3, "b", 31, 0.5)], "id LONG, grp STRING, val LONG, score DOUBLE"),
+        key_col="id")
+    table.compact(spark)
+    got2 = {r["id"]: r["score"] for r in table.read(spark).collect()}
+    assert got2 == {1: None, 2: 0.9, 3: 0.5, 4: None}
+
+
 def test_compact_then_expire_keeps_current_data_only(spark, table):
     u = spark.createDataFrame([(2, "a", 21)], "id LONG, grp STRING, val LONG")
     table.merge(spark, u, key_col="id")          # snap 2, reuses b from snap 1

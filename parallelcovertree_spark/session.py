@@ -17,6 +17,9 @@ _DEFAULTS = {
     # 32 concurrent shuffle writers (measured 3x on the candidates join). On a
     # real cluster this is the NVMe/SSD local-dir setting.
     "spark.local.dir": "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+    # managed-table warehouse off the repo tree (bucketed-table tests and
+    # any saveAsTable user); static conf, so it must be set at session build
+    "spark.sql.warehouse.dir": "/tmp/covergrid-warehouse",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

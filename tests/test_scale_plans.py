@@ -229,3 +229,29 @@ def test_interval_join_matches_brute_force(spark):
             if lk == rk and lts + lower <= rts <= lts + upper
         }
         assert got == want and len(want) > 0, (lower, upper)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Bucketing for co-located joins (the 100 TB fact⋈fact pattern): two
+    tables bucketed+sorted on the join key must SortMergeJoin with NO
+    Exchange on either side — the shuffle happened once at write time and
+    is amortized over every later join."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS bdemo")  # under the session's /tmp warehouse
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for name in ("docs_a", "docs_b"):
+        (docs.write.bucketBy(8, "doc_id").sortBy("doc_id")
+         .mode("overwrite").saveAsTable(f"bdemo.{name}"))
+    a = spark.table("bdemo.docs_a").select("doc_id", "lang")
+    b = spark.table("bdemo.docs_b").select("doc_id", "n_chars")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, "doc_id")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle on either side
+        assert j.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE bdemo.docs_a")
+        spark.sql("DROP TABLE bdemo.docs_b")

@@ -255,3 +255,39 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE bdemo.docs_a")
         spark.sql("DROP TABLE bdemo.docs_b")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Hot-key handling beyond measured salting: AQE's runtime skew-join
+    must engage on a pathological key (one key = 99% of rows) — the final
+    adaptive plan shows SortMergeJoin(skew=true) with the hot partition
+    split into advisory-sized reads. This is the no-code-change safety net
+    under every shuffle join the engine emits."""
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )}
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        ).union(spark.range(2_000).select(
+            (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v")))
+        right = spark.range(51).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = left.join(right, "k")
+        rows = j.collect()  # finalizes the adaptive plan on THIS query
+        assert len(rows) == 202_000
+        plan = _plan(j)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan  # the hot partition was split at runtime
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -8,8 +8,11 @@ Usage:
 
 Jobs: epsilon <sf_dir> <radius> <out_dir> | knn <sf_dir> <k> <out_dir> |
 covertree <sf_dir> <radius> <out_dir> [checkpoint_dir] |
-query <name> <sf_dir> <out_dir>   (any of the 45 registry operators —
-                                   dedup, ANN, tiles, text analysis, ...)
+query <name> <sf_dir> <out_dir>   (any registry operator —
+                                   dedup, ANN, tiles, text analysis, ...) |
+ingest <src_parquet_dir> <table_path> <checkpoint_dir> [key_col] [partition_by]
+    — streaming upsert of a parquet directory into a SnapshotTable
+      (availableNow drain; resumable + replay-idempotent from checkpoint)
 
 The script imports the engine from the shipped zip (no repo checkout needed
 on executors) and writes results as parquet.
@@ -39,6 +42,31 @@ def main() -> None:
         _QUERIES[name](spark, sf_dir).write.mode("overwrite").parquet(out)
         n = spark.read.parquet(out).count()
         print(f"covergrid job=query:{name} wrote {n} rows to {out}")
+        spark.stop()
+        return
+
+    if job == "ingest":
+        src, table_path, ckpt = sys.argv[2], sys.argv[3], sys.argv[4]
+        key_col = sys.argv[5] if len(sys.argv) > 5 else "doc_id"
+        pby = sys.argv[6] if len(sys.argv) > 6 else None
+        from parallelcovertree_spark.sources.snapshots import SnapshotTable
+        from parallelcovertree_spark.streaming.upsert import upsert_stream_to_table
+
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        table = SnapshotTable(table_path)
+        q = upsert_stream_to_table(stream, table, key_col=key_col,
+                                   checkpoint_dir=ckpt, partition_by=pby)
+        q.awaitTermination()
+        man = table.history()[-1]
+        print(
+            f"covergrid job=ingest table={table_path} snapshots="
+            f"{man['snapshot_id']} rows={man['total_rows']}"
+        )
         spark.stop()
         return
 

@@ -18,8 +18,11 @@ _DEFAULTS = {
     # real cluster this is the NVMe/SSD local-dir setting.
     "spark.local.dir": "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
     # managed-table warehouse off the repo tree (bucketed-table tests and
-    # any saveAsTable user); static conf, so it must be set at session build
-    "spark.sql.warehouse.dir": "/tmp/covergrid-warehouse",
+    # any saveAsTable user); static conf, so it must be set at session
+    # build. Per-process path: a killed run's leftover table files must not
+    # collide with the next run's CREATE (location-already-exists), nor two
+    # concurrent runs with each other.
+    "spark.sql.warehouse.dir": f"/tmp/covergrid-warehouse-{os.getpid()}",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",

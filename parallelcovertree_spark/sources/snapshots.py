@@ -173,6 +173,18 @@ class SnapshotTable:
         data_dir = f"{self.path}/snap-{snap_id:012d}"
         self._clear_orphan(data_dir, snap_id)
 
+        # schema evolution is ADD-column only: updates may carry columns the
+        # table lacks (backfilled NULL on old partitions), but must carry
+        # every existing column — allowMissingColumns is symmetric, and an
+        # update batch silently nulling a forgotten column is data loss
+        missing = set(self.read(spark).columns) - set(updates.columns)
+        if missing:
+            raise ValueError(
+                f"merge updates are missing table columns {sorted(missing)}; "
+                "select full rows (matched rows would be overwritten with "
+                "NULL in them)"
+            )
+
         if pcol is None or not prune or not man.get("partition_dirs"):
             base = self.read(spark)
             new_data = base.join(

@@ -98,6 +98,17 @@ def test_merge_add_column_schema_evolution(spark, table):
     assert got2 == {1: None, 2: 0.9, 3: 0.5, 4: None}
 
 
+def test_merge_rejects_updates_missing_table_columns(spark, table):
+    """Evolution is ADD-column only: an update batch that forgot a column
+    must be refused, not silently null the column on matched rows."""
+    upd = spark.createDataFrame([(2, "a")], "id LONG, grp STRING")  # no val
+    with pytest.raises(ValueError, match="missing table columns.*val"):
+        table.merge(spark, upd, key_col="id")
+    # table unchanged
+    assert _rows(table.read(spark)) == [(1, "a", 10), (2, "a", 20),
+                                        (3, "b", 30), (4, "b", 40)]
+
+
 def test_compact_then_expire_keeps_current_data_only(spark, table):
     u = spark.createDataFrame([(2, "a", 21)], "id LONG, grp STRING, val LONG")
     table.merge(spark, u, key_col="id")          # snap 2, reuses b from snap 1

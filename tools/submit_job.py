@@ -49,24 +49,31 @@ def main() -> None:
         src, table_path, ckpt = sys.argv[2], sys.argv[3], sys.argv[4]
         key_col = sys.argv[5] if len(sys.argv) > 5 else "doc_id"
         pby = sys.argv[6] if len(sys.argv) > 6 else None
+        # files per micro-batch = merge commits granularity: each batch is
+        # one snapshot commit (touched-partition read + anti-join +
+        # rewrite), so default to big batches; 0 = everything in one batch
+        files_per_batch = int(sys.argv[7]) if len(sys.argv) > 7 else 64
         from parallelcovertree_spark.sources.snapshots import SnapshotTable
         from parallelcovertree_spark.streaming.upsert import upsert_stream_to_table
 
         schema = spark.read.parquet(src).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
+        reader = spark.readStream.schema(schema)
+        if files_per_batch > 0:
+            reader = reader.option("maxFilesPerTrigger", files_per_batch)
+        stream = reader.parquet(src)
         table = SnapshotTable(table_path)
         q = upsert_stream_to_table(stream, table, key_col=key_col,
                                    checkpoint_dir=ckpt, partition_by=pby)
         q.awaitTermination()
-        man = table.history()[-1]
-        print(
-            f"covergrid job=ingest table={table_path} snapshots="
-            f"{man['snapshot_id']} rows={man['total_rows']}"
-        )
+        hist = table.history()
+        if hist:
+            man = hist[-1]
+            print(
+                f"covergrid job=ingest table={table_path} snapshots="
+                f"{man['snapshot_id']} rows={man['total_rows']}"
+            )
+        else:  # resumed checkpoint with no unprocessed files, fresh table
+            print(f"covergrid job=ingest table={table_path} nothing to do")
         spark.stop()
         return
 

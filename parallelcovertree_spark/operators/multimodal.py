@@ -113,3 +113,72 @@ def frame_sample(media: DataFrame, every_n: int = 8, fake: bool = True) -> DataF
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, "doc_id bigint, frame_no int, frame_bytes binary")
+
+
+# --- REAL (codec-free) header sniffing ----------------------------------------
+# Format identification + dimensions/sample-rate straight from container
+# magic bytes — the first pass a crawl pipeline runs over binary payloads,
+# and it needs no codec library. Per-row work is O(header bytes), never
+# O(payload); rows move in Arrow batches.
+
+SNIFF_SCHEMA = (
+    "doc_id bigint, format string, width int, height int, "
+    "sample_rate int, n_bytes bigint"
+)
+
+
+def sniff_bytes(b: bytes) -> tuple[str, int | None, int | None, int | None]:
+    """(format, width, height, sample_rate) from container headers.
+    PNG (IHDR), JPEG (SOF0/1/2 marker scan), GIF (logical screen), WAV
+    (RIFF fmt chunk); anything else → ('unknown', None, None, None)."""
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return "png", w, h, None
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                h = int.from_bytes(b[i + 5:i + 7], "big")
+                w = int.from_bytes(b[i + 7:i + 9], "big")
+                return "jpeg", w, h, None
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg = int.from_bytes(b[i + 2:i + 4], "big")
+            i += 2 + seg
+        return "jpeg", None, None, None
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        return "gif", w, h, None
+    if len(b) >= 28 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        sr = int.from_bytes(b[24:28], "little")
+        return "wav", None, None, sr
+    return "unknown", None, None, None
+
+
+def media_sniff(media: DataFrame) -> DataFrame:
+    """(doc_id, format, width, height, sample_rate, n_bytes) for every
+    payload — REAL parsing, no codec dependency, no stub. Partition-
+    preserving mapInPandas; downstream routing (decode farm per format,
+    size filters, corrupt-payload quarantine) hangs off this table."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": pdf["doc_id"], "format": [], "width": [],
+                   "height": [], "sample_rate": [], "n_bytes": []}
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                fmt, w, h, sr = sniff_bytes(b)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sample_rate"].append(sr)
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(run, SNIFF_SCHEMA)

@@ -159,3 +159,34 @@ def test_streaming_tile_ingest_equals_batch(tmp_path, spark):
     # totals agree with the per-cell histogram (res 2.0 everywhere)
     n = sum(r[2] for r in batch)
     assert n == batch_docs.count()
+
+
+def test_media_sniff_real_headers(spark):
+    """Codec-free header sniffing is REAL (not a stub): construct valid
+    PNG/JPEG/GIF/WAV containers byte-by-byte and parse format + dims +
+    sample rate through the Spark mapInPandas path."""
+    import struct
+    import zlib
+
+    from parallelcovertree_spark.operators.multimodal import media_sniff
+
+    ihdr = struct.pack(">II", 320, 200) + b"\x08\x02\x00\x00\x00"
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+           + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + b"\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 240, 360) + b"\x01\x11\x00")
+    jpeg = b"\xff\xd8" + app0 + sof0
+    gif = b"GIF89a" + struct.pack("<HH", 99, 77) + b"\x00\x00\x00"
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
+           + struct.pack("<IHHI", 16, 1, 1, 44100))
+    rows = [(0, png), (1, jpeg), (2, gif), (3, wav), (4, b"not media")]
+    df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    got = {r["doc_id"]: r for r in media_sniff(df).collect()}
+    assert (got[0]["format"], got[0]["width"], got[0]["height"]) == ("png", 320, 200)
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("jpeg", 360, 240)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("gif", 99, 77)
+    assert (got[3]["format"], got[3]["sample_rate"]) == ("wav", 44100)
+    assert got[4]["format"] == "unknown" and got[4]["n_bytes"] == 9
+    assert all(got[i]["n_bytes"] == len(rows[i][1]) for i in range(5))

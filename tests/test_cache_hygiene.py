@@ -17,7 +17,7 @@ def _persistent_count(spark) -> int:
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
 
-def _settle(spark, target: int, timeout_s: float = 90.0) -> int:
+def _settle(spark, target: int, timeout_s: float = 240.0) -> int:
     """GC + wait for the async ContextCleaner to unpersist dropped RDDs."""
     deadline = time.time() + timeout_s
     n = _persistent_count(spark)

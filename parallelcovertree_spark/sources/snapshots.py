@@ -393,6 +393,25 @@ class SnapshotTable:
         )
         return {str(r[0]): r.rows for r in counted}
 
+    def read_partition(
+        self, spark: SparkSession, value, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Pruned read of ONE partition — O(1) directory resolution via the
+        manifest (works across merge generations, where the partition's
+        current dir may live in an ancestor snapshot). Returns an empty
+        DataFrame with the table schema for an absent partition."""
+        sid = snapshot_id if snapshot_id is not None else self.latest_snapshot_id()
+        if sid is None:
+            raise FileNotFoundError(f"no snapshots in {self.path}")
+        man = self._manifest(sid)
+        dirs = man.get("partition_dirs")
+        if not dirs:
+            raise ValueError("read_partition requires a partitioned table")
+        key = self._check_partition_values([value])[0]
+        if key not in dirs:
+            return self.read(spark, sid).limit(0)
+        return self._read_dirs(spark, [dirs[key]])
+
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
         sid = snapshot_id if snapshot_id is not None else self.latest_snapshot_id()
         if sid is None:

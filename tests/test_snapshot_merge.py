@@ -98,6 +98,22 @@ def test_merge_add_column_schema_evolution(spark, table):
     assert got2 == {1: None, 2: 0.9, 3: 0.5, 4: None}
 
 
+def test_read_partition_is_pruned_and_generation_aware(spark, table):
+    u = spark.createDataFrame([(2, "a", 21)], "id LONG, grp STRING, val LONG")
+    table.merge(spark, u, key_col="id")  # 'b' still lives in snap 1's dirs
+    a = sorted((r["id"], r["val"]) for r in table.read_partition(spark, "a").collect())
+    b = sorted((r["id"], r["val"]) for r in table.read_partition(spark, "b").collect())
+    assert a == [(1, 10), (2, 21)]
+    assert b == [(3, 30), (4, 40)]  # resolved into the ancestor snapshot dir
+    # absent partition → empty frame with the table schema
+    z = table.read_partition(spark, "zz")
+    assert z.count() == 0 and set(z.columns) == {"id", "grp", "val"}
+    # time travel composes with pruning
+    a1 = sorted((r["id"], r["val"])
+                for r in table.read_partition(spark, "a", snapshot_id=1).collect())
+    assert a1 == [(1, 10), (2, 20)]
+
+
 def test_merge_rejects_updates_missing_table_columns(spark, table):
     """Evolution is ADD-column only: an update batch that forgot a column
     must be refused, not silently null the column on matched rows."""

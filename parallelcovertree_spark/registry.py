@@ -760,6 +760,64 @@ def ngram_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(docs, eval_texts, n=3)
 
 
+@_register(
+    "corpus_top_terms",
+    f"""{_TOK_CTE},
+v AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq, CAST(SUM(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY term
+)
+SELECT term, doc_freq, total_tf FROM v
+ORDER BY total_tf DESC, term LIMIT 20
+""",
+)
+def corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 vocabulary terms by corpus frequency — orderBy+limit
+    compiles to TakeOrdered (per-partition top-k partials, no global sort
+    materialization). Term tie-break makes the cut deterministic."""
+    from parallelcovertree_spark.operators.corpus import term_doc_freq
+
+    return (
+        term_doc_freq(_docs(spark, sf_dir))
+        .orderBy(F.desc("total_tf"), F.asc("term"))
+        .limit(20)
+        .select("term", "doc_freq", "total_tf")
+    )
+
+
+# bucket < 0.8·2^32 → train, < 0.9·2^32 → val, else test (80/10/10)
+_SPLIT_TRAIN = 3435973836
+_SPLIT_VAL = 3865470566
+
+
+@_register(
+    "corpus_splits",
+    f"""WITH b AS (
+  SELECT doc_id, lang,
+         CAST(CAST(('0x' || substr(sha256(text), 1, 8)) AS UBIGINT) AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+            WHEN bucket < {_SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+)
+def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment keyed on
+    sha2-256(text): content-hashed (exact duplicates land in the SAME
+    split — no train/test leakage via dups), stable under re-ingestion,
+    pure map-side expression."""
+    bucket = F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 8), 16, 10).cast("bigint")
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test").alias("split"),
+    )
+
+
 _CONTAM_FRAGS = [
     (0, "hash join"),
     (1, "table scan"),

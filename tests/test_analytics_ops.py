@@ -74,6 +74,23 @@ def test_pivot_counts_match_long_form(spark):
             assert row[t] == expect[uid].get(t, 0)
 
 
+def test_corpus_splits_are_duplicate_stable_and_complete(spark):
+    from parallelcovertree_spark.registry import corpus_splits
+
+    rows = corpus_splits(spark, SF).collect()
+    docs = {r["doc_id"]: r["split"] for r in rows}
+    assert set(r["split"] for r in rows) <= {"train", "val", "test"}
+    # exact duplicate texts must land in the SAME split (no leakage via dups)
+    by_text = {}
+    for r in spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").collect():
+        by_text.setdefault(r["text"], []).append(docs[r["doc_id"]])
+    for splits in by_text.values():
+        assert len(set(splits)) == 1
+    # every doc assigned exactly once
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n and len(docs) == n
+
+
 def test_props_histogram_matches_json_parse(spark):
     got = {r["bucket"]: (r["cnt"], r["min_k"], r["max_k"])
            for r in props_json_histogram(spark, SF).collect()}

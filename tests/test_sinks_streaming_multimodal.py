@@ -190,3 +190,31 @@ def test_media_sniff_real_headers(spark):
     assert (got[3]["format"], got[3]["sample_rate"]) == ("wav", 44100)
     assert got[4]["format"] == "unknown" and got[4]["n_bytes"] == 9
     assert all(got[i]["n_bytes"] == len(rows[i][1]) for i in range(5))
+
+
+def test_media_sniff_stream_equals_batch(spark, tmp_path):
+    """media_sniff is a stateless mapInPandas — it must run unchanged on a
+    readStream (sniff-on-ingest) and match the batch result exactly."""
+    import struct
+
+    from parallelcovertree_spark.operators.multimodal import media_sniff
+
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00\x00\x00"
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
+           + struct.pack("<IHHI", 16, 1, 1, 22050))
+    rows = [(0, gif), (1, wav), (2, b"junk")]
+    batch_df = spark.createDataFrame(rows, "doc_id LONG, payload BINARY")
+    src = tmp_path / "media"
+    batch_df.coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id LONG, payload BINARY").parquet(str(src))
+    q = (
+        media_sniff(stream).writeStream.format("memory")
+        .queryName("sniff_stream").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("sniff_stream").collect()))
+    want = sorted(map(tuple, media_sniff(batch_df).collect()))
+    assert got == want and len(got) == 3

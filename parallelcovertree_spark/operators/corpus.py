@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "content_bucket",
     "doc_term_freq",
     "term_doc_freq",
     "tfidf_top_terms",
@@ -241,6 +242,15 @@ def contamination_check(
     )
 
 
+def content_bucket(text_col: str = "text") -> F.Column:
+    """32-bit content bucket: first 8 hex digits of sha2-256(text) as a
+    bigint. THE shared key for deterministic sampling and split assignment
+    (DuckDB twin: CAST(CAST('0x' || substr(sha256(text),1,8) AS UBIGINT) AS
+    BIGINT)) — one definition, used by stratified_sample, corpus_splits,
+    and training_manifest."""
+    return F.conv(F.substring(F.sha2(F.col(text_col), 256), 1, 8), 16, 10).cast("bigint")
+
+
 def stratified_sample(
     docs: DataFrame, lang_thresholds: dict[str, int], default_threshold: int,
     text_col: str = "text", id_col: str = "doc_id", lang_col: str = "lang",
@@ -253,7 +263,7 @@ def stratified_sample(
     re-partitioning, and exact duplicates sample identically, so the sampled
     corpus needs no re-dedup. Pure map-side filter: no shuffle, and the
     predicate sits in the scan's codegen stage."""
-    bucket = F.conv(F.substring(F.sha2(F.col(text_col), 256), 1, 8), 16, 10).cast("bigint")
+    bucket = content_bucket(text_col)
     thr = F.lit(default_threshold)
     for lang, t in sorted(lang_thresholds.items()):
         thr = F.when(F.col(lang_col) == lang, F.lit(t)).otherwise(thr)

@@ -809,7 +809,9 @@ def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     sha2-256(text): content-hashed (exact duplicates land in the SAME
     split — no train/test leakage via dups), stable under re-ingestion,
     pure map-side expression."""
-    bucket = F.conv(F.substring(F.sha2(F.col("text"), 256), 1, 8), 16, 10).cast("bigint")
+    from parallelcovertree_spark.operators.corpus import content_bucket
+
+    bucket = content_bucket("text")
     return _docs(spark, sf_dir).select(
         "doc_id", "lang",
         F.when(bucket < _SPLIT_TRAIN, "train")

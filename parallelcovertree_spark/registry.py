@@ -155,6 +155,59 @@ def knn_docs_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_block_kernel(pts, k=KNN_K, queries=qs)
 
 
+_DBSCAN_MIN_PTS = 6
+
+
+@_register(
+    "dbscan_docs",
+    f"""WITH RECURSIVE pts AS ({geo.points_cte('doc_id', 'documents')}),
+e AS (
+  SELECT a.id AS src, b.id AS dst FROM pts a, pts b
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {EPS_RADIUS * EPS_RADIUS!r}
+),
+deg AS (SELECT src AS id, COUNT(*) AS n FROM e GROUP BY src),
+core AS (SELECT id FROM deg WHERE n >= {_DBSCAN_MIN_PTS}),
+ce AS (
+  SELECT e.src, e.dst FROM e
+  JOIN core c1 ON e.src = c1.id JOIN core c2 ON e.dst = c2.id
+),
+reach AS (
+  SELECT src AS node, src AS label FROM ce
+  UNION
+  SELECT ce.src, r.label FROM ce JOIN reach r ON ce.dst = r.node
+),
+lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+border AS (
+  SELECT e.src AS id, MIN(l.label) AS label
+  FROM e JOIN lab l ON e.dst = l.node
+  WHERE e.src NOT IN (SELECT id FROM core)
+  GROUP BY e.src
+)
+SELECT p.id AS doc_id,
+       COALESCE(l.label, b.label, -1) AS cluster_id,
+       CASE WHEN l.label IS NOT NULL THEN 'core'
+            WHEN b.label IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM pts p
+LEFT JOIN lab l ON l.node = p.id
+LEFT JOIN border b ON b.id = p.id
+""",
+)
+def dbscan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the geotagged corpus — the canonical downstream consumer
+    of the reference's ε-graph (programs/epsilon_graph.cpp emits exactly the
+    graph DBSCAN expands). Deterministic variant: border points take the MIN
+    cluster id among their core neighbors, so the DuckDB recursive-CTE
+    oracle replays it exactly. Every stage is a bucketed equi-join; the only
+    iterative state is (core id, label) pairs in O(log diameter) rounds."""
+    from parallelcovertree_spark.operators.clustering import dbscan
+
+    return dbscan(
+        _doc_points(spark, sf_dir), EPS_RADIUS, _DBSCAN_MIN_PTS, id_col="id"
+    ).withColumnRenamed("id", "doc_id")
+
+
 _X = geo.X_SQL.format(id="doc_id")
 _Y = geo.Y_SQL.format(id="doc_id")
 

@@ -76,6 +76,13 @@ QUADRATIC_ORACLES = {
     # all-pairs; the oracle's flat join is that × dim rows (measured: 47%
     # of RAM and climbing at 20k vectors before being stopped)
     "ann_ivf_topk",
+    # recursive-CTE label propagation: the `reach` set is O(Σ comp²) pairs
+    # over the CORE subgraph — at sf1 the ε-graph has avg degree ~386 and
+    # essentially one giant component, so reach ≈ 2.5e9 pairs (measured:
+    # stalled >9min; every sub-stage's Spark side — ε-join, degree agg,
+    # pointer-doubling CC — is separately sf1/bench-checked, and the
+    # Spark-only dbscan_docs run at sf1 is timed in BENCH/sf1_smoke.txt)
+    "dbscan_docs",
 }
 # near-dup operators: VERBATIM 10× replication makes every text/embedding a
 # 10-way exact duplicate, so LSH buckets grow 10× and bucket self-joins

@@ -873,6 +873,43 @@ def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "incremental_lang_counts",
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id % 7 <> 0 GROUP BY lang
+""",
+)
+def incremental_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance end-to-end: build a
+    snapshot table from the corpus (commit 2/3 of the docs, MERGE in the
+    rest, DELETE every 7th), then refresh a per-lang COUNT+SUM(n_chars)
+    rollup from ``SnapshotTable.changes()`` ALONE — the previous aggregate
+    plus signed deltas, never rescanning table state
+    (``operators/incremental.py``). The oracle recomputes the final state
+    from scratch, so a drift anywhere in changelog attribution or the
+    ⊕/⊖ merge fails the gate. This is what replaces the reference's
+    full-pass statistics rebuild (programs/epsilon_graph.cpp prints
+    num_edges/avg_deg per full run) once the corpus changes incrementally."""
+    import tempfile
+
+    from parallelcovertree_spark.operators.incremental import maintain_sums
+    from parallelcovertree_spark.sources.snapshots import SnapshotTable
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    tbl = SnapshotTable(tempfile.mkdtemp(prefix="covergrid-incr-"))
+    tbl.commit(docs.where(F.col("doc_id") % 3 != 0), partition_by="lang")
+    tbl.merge(spark, docs.where(F.col("doc_id") % 3 == 0), key_col="doc_id")
+    tbl.delete(spark, "doc_id % 7 = 0")
+    prev = tbl.read(spark, 1).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return maintain_sums(
+        prev, tbl.changes(spark, 1), ["lang"], {"total_chars": "n_chars"}
+    )
+
+
 _CONTAM_FRAGS = [
     (0, "hash join"),
     (1, "table scan"),

@@ -30,12 +30,12 @@ amortization as the bucketed-join evidence in
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parallelcovertree_spark.sources.snapshots import SnapshotTable
 
-__all__ = ["maintain_counts", "maintain_sums"]
+__all__ = ["maintain_counts", "maintain_sums", "MaintainedAggregate"]
 
 def _sign() -> F.Column:
     return (
@@ -88,3 +88,78 @@ def maintain_sums(
             *[F.sum(c).alias(c) for c in out_cols]
         )
     return delta.where(F.col(count_col) != 0).select(*keys, *out_cols)
+
+
+class MaintainedAggregate:
+    """A materialized COUNT/SUM rollup of a source ``SnapshotTable``, stored
+    as its OWN snapshot table and refreshed incrementally from the source
+    changelog — the lakehouse end of the incremental-view story.
+
+    Each ``refresh()`` commit records the source snapshot it reflects
+    (``app_meta['source_snapshot']``), which makes refresh IDEMPOTENT: a
+    replayed refresh (foreachBatch restart semantics) sees the recorded
+    source snapshot already current and no-ops. The rollup itself is
+    time-travelable like any snapshot table, so "the per-lang counts as of
+    source snapshot k" stays answerable.
+
+    Crash ordering is safe in both directions: source-commit-then-crash
+    leaves the rollup one refresh behind (the next refresh catches up over
+    the multi-commit changelog); crash mid-rollup-commit leaves an orphan
+    dir the table machinery already recovers.
+
+    If ``expire_snapshots`` on the source dropped history back to the
+    recorded snapshot, ``refresh()`` surfaces the changelog's
+    FileNotFoundError — re-bootstrap with ``refresh(full=True)`` (the only
+    path that rescans source state)."""
+
+    def __init__(
+        self, path: str, source: SnapshotTable, keys: list[str],
+        sums: dict[str, str] | None = None, count_col: str = "n",
+    ):
+        self.table = SnapshotTable(path)
+        self.source = source
+        self.keys = list(keys)
+        self.sums = dict(sums or {})
+        self.count_col = count_col
+
+    def _recorded_source_snapshot(self) -> int | None:
+        sid = self.table.latest_snapshot_id()
+        if sid is None:
+            return None
+        # a foreign manifest on the rollup (e.g. compact()) has no
+        # source_snapshot — treated as None, forcing a safe full recompute
+        return (self.table._manifest(sid).get("app_meta") or {}).get(
+            "source_snapshot"
+        )
+
+    def _full_agg(self, spark: SparkSession, src_sid: int) -> DataFrame:
+        state = self.source.read(spark, src_sid)
+        return state.groupBy(*self.keys).agg(
+            F.count(F.lit(1)).alias(self.count_col),
+            *[F.sum(F.col(s).cast("bigint")).alias(d)
+              for d, s in self.sums.items()],
+        )
+
+    def refresh(self, spark: SparkSession, full: bool = False) -> int | None:
+        """Bring the rollup up to the source's latest snapshot; returns the
+        rollup snapshot id (existing id on a no-op, None if the source has
+        no snapshots yet). ``full=True`` recomputes from source state —
+        bootstrap and expired-history recovery."""
+        src_sid = self.source.latest_snapshot_id()
+        if src_sid is None:
+            return None
+        recorded = self._recorded_source_snapshot()
+        if recorded == src_sid and not full:
+            return self.table.latest_snapshot_id()  # idempotent replay
+        if recorded is None or full:
+            new = self._full_agg(spark, src_sid)
+        else:
+            new = maintain_sums(
+                self.table.read(spark),
+                self.source.changes(spark, recorded, src_sid),
+                self.keys, self.sums, self.count_col,
+            )
+        return self.table.commit(new, meta={"source_snapshot": src_sid})
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        return self.table.read(spark, snapshot_id)

@@ -99,3 +99,109 @@ def test_null_measures_match_sql_sum_semantics(spark, tmp_path):
     )
     got = maintain_sums(prev, t.changes(spark, 1), ["grp"], {"tot": "val"})
     assert _agg_rows(got) == [("a", 1, 20)]
+
+
+SCHEMA = "doc_id LONG, lang STRING, n_chars LONG"
+
+
+def _agg_recompute(df):
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("chars"),
+    )
+
+
+def test_streaming_upsert_drives_maintained_rollup(spark, tmp_path):
+    """The full lakehouse loop: micro-batch → CoW upsert commit → changelog
+    → incrementally refreshed rollup; refresh is idempotent on replay and
+    catches up over multi-commit gaps."""
+    from parallelcovertree_spark.operators.incremental import (
+        MaintainedAggregate,
+    )
+    from parallelcovertree_spark.streaming.upsert import (
+        upsert_stream_to_table,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+
+    def land(i, rows):
+        import glob
+        import shutil
+
+        d = tmp_path / f"in{i}"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(str(d))
+        shutil.copy(
+            glob.glob(str(d / "part-*.parquet"))[0],
+            src_dir / f"{i:02d}.parquet",
+        )
+
+    land(0, [(1, "en", 10), (2, "en", 20), (3, "de", 30)])
+    land(1, [(2, "en", 21), (4, "fr", 40)])  # update + insert
+
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    agg = MaintainedAggregate(
+        str(tmp_path / "agg"), table, keys=["lang"],
+        sums={"chars": "n_chars"},
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+        )
+        upsert_stream_to_table(
+            stream, table, key_col="doc_id",
+            checkpoint_dir=str(tmp_path / "ck"), partition_by="lang",
+        ).awaitTermination()
+
+    drain()  # two micro-batches → snapshots 1, 2; rollup bootstrap
+    sid = agg.refresh(spark)
+    assert _agg_rows(agg.read(spark)) == _agg_rows(
+        _agg_recompute(table.read(spark))
+    )
+    # idempotent: nothing new in the source → same rollup snapshot id
+    assert agg.refresh(spark) == sid
+
+    # two more source commits WITHOUT interleaved refreshes (multi-commit
+    # catch-up over the changelog), incl. a delete
+    land(2, [(5, "de", 50)])
+    drain()
+    table.delete(spark, "lang = 'en' AND doc_id = 1")
+    sid2 = agg.refresh(spark)
+    assert sid2 == sid + 1  # ONE incremental commit covered both steps
+    assert _agg_rows(agg.read(spark)) == _agg_rows(
+        _agg_recompute(table.read(spark))
+    )
+    # the rollup is time-travelable: snapshot `sid` still answers the old state
+    assert _agg_rows(agg.read(spark, sid)) == _agg_rows(
+        _agg_recompute(table.read(spark, 2))
+    )
+    # meta records which source snapshot each rollup commit reflects
+    assert agg.table._manifest(sid2)["app_meta"]["source_snapshot"] == 4
+
+
+def test_maintained_rollup_full_recovery(spark, tmp_path):
+    """full=True re-bootstraps after source history expiry."""
+    from parallelcovertree_spark.operators.incremental import (
+        MaintainedAggregate,
+    )
+
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    table.commit(
+        spark.createDataFrame([(1, "en", 10), (2, "de", 20)], SCHEMA),
+        partition_by="lang",
+    )
+    agg = MaintainedAggregate(str(tmp_path / "agg"), table, keys=["lang"])
+    agg.refresh(spark)
+    table.merge(
+        spark, spark.createDataFrame([(3, "de", 30)], SCHEMA),
+        key_col="doc_id",
+    )
+    table.expire_snapshots(keep_last=1)  # drops snapshot 1 → changelog gone
+    with pytest.raises(FileNotFoundError):
+        agg.refresh(spark)
+    agg.refresh(spark, full=True)
+    got = sorted((r["lang"], r["n"]) for r in agg.read(spark).collect())
+    assert got == [("de", 2), ("en", 1)]

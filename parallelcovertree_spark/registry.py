@@ -873,6 +873,40 @@ def corpus_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle() -> str:
+    from parallelcovertree_spark.operators.zorder import z_value_sql
+
+    off = 1 << 20
+    return f"""{_PTS_CTE},
+ci AS (
+  SELECT id, CAST(FLOOR(x / {float(EPS_RADIUS)!r}) AS BIGINT) + {off} AS cx,
+             CAST(FLOOR(y / {float(EPS_RADIUS)!r}) AS BIGINT) + {off} AS cy
+  FROM pts
+)
+SELECT id AS doc_id, {z_value_sql('cx', 'cy')} AS zkey FROM ci
+"""
+
+
+@_register("zorder_keys", _zorder_oracle())
+def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key per document — the sort key behind
+    Iceberg/Delta OPTIMIZE ZORDER: tile coordinates bit-interleaved so 2-D
+    locality becomes 1-D key locality (``operators/zorder.py``; pure BIGINT
+    shift/mask chain, whole-stage codegen, bit-identical in DuckDB).
+    ``zorder_write`` uses this key to range-partition + sort files so a
+    spatial query box touches O(1) files (locality pinned in
+    ``test_zorder.py``)."""
+    from parallelcovertree_spark.functions import cells
+    from parallelcovertree_spark.operators.zorder import z_value
+
+    pts = _doc_points(spark, sf_dir)
+    ix = cells.cell_ix("x", EPS_RADIUS) + F.lit(cells._OFF)
+    iy = cells.cell_ix("y", EPS_RADIUS) + F.lit(cells._OFF)
+    return pts.select(
+        F.col("id").alias("doc_id"), z_value(ix, iy).alias("zkey")
+    )
+
+
 @_register(
     "incremental_lang_counts",
     """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,

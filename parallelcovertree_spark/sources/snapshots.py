@@ -316,14 +316,35 @@ class SnapshotTable:
 
     # --- maintenance -----------------------------------------------------------
 
-    def compact(self, spark: SparkSession) -> int:
+    def compact(
+        self, spark: SparkSession, cluster_by=None, n_files: int | None = None,
+    ) -> int:
         """Materialize the current snapshot into one self-contained directory
         (Iceberg rewrite_data_files): after many merges a snapshot's
         partitions scatter across generations; compaction rewrites them into
         a single fresh snap dir so reads are one clean scan again. History
-        is preserved — compaction is just another snapshot."""
+        is preserved — compaction is just another snapshot.
+
+        ``cluster_by`` (a Column — e.g. ``zorder.z_value(...)`` — or a SQL
+        expression string) is the OPTIMIZE-ZORDER form: rows are
+        range-partitioned into ``n_files`` output tasks on
+        (table partition, key) — sampled bounds, so file sizes track data
+        density — and sorted within files, giving later spatial/range reads
+        O(1)-file locality plus row-group min/max pruning. The key column
+        itself is not stored; it exists only during the rewrite."""
         man = self._manifest(self.latest_snapshot_id())
-        return self.commit(self.read(spark), partition_by=man["partition_by"])
+        df = self.read(spark)
+        if cluster_by is not None:
+            key = (
+                F.expr(cluster_by) if isinstance(cluster_by, str) else cluster_by
+            )
+            pcol = man["partition_by"]
+            sort_cols = ([F.col(pcol)] if pcol else []) + [key]
+            parts = n_files or spark.sparkContext.defaultParallelism
+            df = df.repartitionByRange(parts, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            )
+        return self.commit(df, partition_by=man["partition_by"])
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Drop all but the last ``keep_last`` manifests and delete snap dirs

@@ -107,3 +107,43 @@ def test_zorder_key_range_is_sign_safe(spark):
     df = spark.createDataFrame([((1 << 31) - 1, (1 << 31) - 1)], "cx LONG, cy LONG")
     (z,) = df.select(z_value(F.col("cx"), F.col("cy")).alias("z")).collect()[0]
     assert z > 0 and z == _morton_py((1 << 31) - 1, (1 << 31) - 1)
+
+
+def test_compact_cluster_by_zorders_table_files(spark, tmp_path):
+    """OPTIMIZE-ZORDER via table maintenance: compact(cluster_by=z_value)
+    rewrites a hash-scattered snapshot into spatially local files; contents
+    and history are unchanged."""
+    from parallelcovertree_spark.sources.snapshots import SnapshotTable
+
+    n = 32
+    pts = spark.createDataFrame(
+        [(x * n + y, "a" if x < n // 2 else "b", x, y)
+         for x in range(n) for y in range(n)],
+        "id LONG, part STRING, cx LONG, cy LONG",
+    ).repartition(16, "id")  # hash-scattered input
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(pts, partition_by="part")
+
+    sid = t.compact(
+        spark, cluster_by=z_value(F.col("cx"), F.col("cy")), n_files=8
+    )
+
+    def mean_bbox(snap):
+        rows = (
+            t.read(spark, snap)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("cx") - F.min("cx") + 1).alias("w"),
+                (F.max("cy") - F.min("cy") + 1).alias("h"),
+            )
+            .collect()
+        )
+        return float(np.mean([r["w"] * r["h"] for r in rows]))
+
+    assert mean_bbox(sid) <= mean_bbox(1) / 3  # measured locality gain
+    # contents identical, key column not persisted, history preserved
+    assert sorted(r["id"] for r in t.read(spark, sid).collect()) == sorted(
+        r["id"] for r in t.read(spark, 1).collect()
+    )
+    assert t.read(spark, sid).columns == ["id", "cx", "cy", "part"]
+    assert [m["snapshot_id"] for m in t.history()] == [1, 2]

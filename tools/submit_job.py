@@ -77,6 +77,28 @@ def main() -> None:
         spark.stop()
         return
 
+    if job == "optimize":
+        # table maintenance: optimize <table> [n_files] [cluster_sql] [keep]
+        # rewrite_data_files (+ optional Z-order clustering on a SQL
+        # expression over table columns) then expire unreferenced history
+        table_path = sys.argv[2]
+        n_files = int(sys.argv[3]) if len(sys.argv) > 3 else None
+        cluster_sql = sys.argv[4] if len(sys.argv) > 4 else None
+        keep = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+        from parallelcovertree_spark.sources.snapshots import SnapshotTable
+
+        table = SnapshotTable(table_path)
+        sid = table.compact(spark, cluster_by=cluster_sql, n_files=n_files)
+        expired = table.expire_snapshots(keep_last=keep) if keep > 0 else []
+        man = table._manifest(sid)
+        print(
+            f"covergrid job=optimize table={table_path} snapshot={sid} "
+            f"rows={man['total_rows']} clustered={cluster_sql is not None} "
+            f"expired={len(expired)}"
+        )
+        spark.stop()
+        return
+
     sf_dir = sys.argv[2]
     from parallelcovertree_spark.functions import geo
 

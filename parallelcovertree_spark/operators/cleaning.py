@@ -1,0 +1,131 @@
+"""Text-cleaning operators (training-pipeline surface): PII scrubbing and
+CCNet-style shared-paragraph removal.
+
+Both stay entirely JVM-side (codegen regex / explode / hash-agg) — no Python
+in the hot path — and both are deterministic functions of the input so the
+driver gates replay them exactly in DuckDB.
+
+- **PII scrub**: mask email addresses and phone-shaped tokens with typed
+  placeholder tags and count the masks per document. One projection pass
+  over the corpus: `regexp_replace`/`regexp_count` inside the scan stage, no
+  shuffle at all. The regexes live in the Java-regex ∩ RE2 dialect subset so
+  the DuckDB oracle applies the *identical* pattern strings.
+
+- **Paragraph dedup** (the CCNet/RefinedWeb boilerplate-removal pass): split
+  each document into lines, compute each line's document frequency across
+  the corpus, drop lines occurring in more than ``max_df`` distinct
+  documents (nav bars, cookie banners, copyright footers), and reassemble
+  the survivors in original order. Scale shape: the df-aggregate and the
+  re-join key on the sha2-256 line digest (32 B), never the line text; the
+  hot boilerplate keys are exactly the ones the aggregate's map-side
+  partials collapse, and the digest join's build side is one row per
+  distinct line, so skew is bounded by construction. Docs whose every line
+  is boilerplate survive with empty text (left join back to the doc spine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Shared Java-regex ∩ RE2 patterns (identical strings on both engines; no
+# backslash-escape divergence because the Spark side binds them through the
+# DataFrame API, not SQL literals, and DuckDB literals are escape-free).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+EMAIL_TAG = "<EMAIL>"
+PHONE_TAG = "<PHONE>"
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text_clean, n_emails, n_phones) — masked text plus mask counts.
+
+    Single narrow projection (no shuffle): counts are taken from the raw
+    text, then both patterns are replaced. Email masking runs first so a
+    phone-shaped substring inside an address can't double-mask; the count
+    columns are audit metrics (how much PII the corpus carried), which a
+    pipeline aggregates per source/language downstream.
+    """
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, EMAIL_TAG), PHONE_RE, PHONE_TAG
+        ).alias("text_clean"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).alias("n_phones"),
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 5,
+    sep: str = "\n",
+) -> DataFrame:
+    """(id, text_clean, n_kept, n_total) — drop lines shared by more than
+    ``max_df`` distinct documents, keep per-doc line order.
+
+    The mechanism CCNet applies at paragraph granularity: content repeated
+    across many pages is boilerplate (navigation, cookie banners, legal
+    footers), content unique to a page is the document. ``max_df`` is the
+    distinct-document threshold — a line must appear in MORE than ``max_df``
+    docs to be dropped, so genuine near-duplicate bodies below the threshold
+    survive for the dedup operators to handle.
+
+    Three stages, all keyed on the 32-byte sha2 digest of the line (line
+    text itself never shuffles twice): explode → df-aggregate (map-side
+    partials absorb the hot boilerplate keys) → digest equi-join + ordered
+    reassembly. The doc spine left-join keeps fully-boilerplate docs as
+    empty strings (n_kept = 0) rather than silently dropping rows.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("line_key", F.sha2(F.col("line"), 256))
+
+    line_df = lines.groupBy("line_key").agg(
+        F.countDistinct(id_col).alias("line_docs")
+    )
+
+    kept = (
+        lines.join(line_df, "line_key")
+        .where(F.col("line_docs") <= max_df)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+                sep,
+            ).alias("text_clean"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_total"))
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.col("n_total").cast("bigint"),
+        )
+    )
+
+
+__all__ = [
+    "EMAIL_RE",
+    "EMAIL_TAG",
+    "PHONE_RE",
+    "PHONE_TAG",
+    "paragraph_dedup",
+    "pii_scrub",
+]

@@ -28,6 +28,7 @@ from parallelcovertree_spark.functions.text import (
     TOKEN_HASH_SQL,
     lang_score_sql,
 )
+from parallelcovertree_spark.operators import cleaning
 from parallelcovertree_spark.operators.epsilon_join import epsilon_self_join
 from parallelcovertree_spark.operators.knn import knn_join
 
@@ -2045,6 +2046,87 @@ def ball_radii(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.lit(2.0), -F.col("n_nationkey").cast("double")).alias("ball"),
         )
     )
+
+
+# --- text cleaning: PII scrub + CCNet-style paragraph dedup -------------------
+
+# Deterministic PII enrichment shared verbatim by both engines (the planted-
+# invariant pattern, cf. minhash_engine_planted_recall): every 3rd doc gains a
+# synthetic email, every 5th a phone-shaped token, so the scrubber has known
+# work to do and the gate checks the masked text AND the mask counts.
+_PII_ENRICH_SQL = (
+    "text || (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || "
+    "CAST(doc_id AS STRING) || '@example.com' ELSE '' END)"
+    " || (CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END)"
+)
+
+
+@_register(
+    "pii_scrub",
+    f"""WITH enriched AS (SELECT doc_id, {_PII_ENRICH_SQL} AS text FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{cleaning.EMAIL_RE}', '{cleaning.EMAIL_TAG}', 'g'),
+                      '{cleaning.PHONE_RE}', '{cleaning.PHONE_TAG}', 'g') AS text_clean,
+       CAST(len(regexp_extract_all(text, '{cleaning.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{cleaning.PHONE_RE}')) AS BIGINT) AS n_phones
+FROM enriched""",
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over the (deterministically enriched) corpus: one codegen
+    regexp projection inside the scan stage, zero shuffles. The patterns sit
+    in the Java-regex ∩ RE2 subset so DuckDB applies the identical strings;
+    counts cast to BIGINT on both sides."""
+    enriched = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_ENRICH_SQL).alias("text")
+    )
+    out = cleaning.pii_scrub(enriched)
+    return out.select(
+        "doc_id", "text_clean",
+        F.col("n_emails").cast("bigint").alias("n_emails"),
+        F.col("n_phones").cast("bigint").alias("n_phones"),
+    )
+
+
+# Boilerplate framing shared verbatim by both engines: a nav line on every
+# doc, a cookie banner on every 7th, a per-source copyright footer — the
+# line-document-frequency threshold must drop all three frames (their df
+# grows with the corpus, so the gate is scale-stable) while unique bodies
+# survive.
+_FRAME_SQL = (
+    "'NAV home about contact' || chr(10) || "
+    "(CASE WHEN doc_id % 7 = 0 THEN 'COOKIE accept our cookies' || chr(10) "
+    "ELSE '' END) || text || chr(10) || 'COPYRIGHT ' || source"
+)
+_PARA_MAX_DF = 5
+
+
+@_register(
+    "paragraph_dedup",
+    f"""WITH framed AS (SELECT doc_id, {_FRAME_SQL} AS t FROM documents),
+     lines AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+               FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM framed)),
+     ldf AS (SELECT line, COUNT(DISTINCT doc_id) AS line_docs FROM lines GROUP BY line),
+     kept AS (SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS text_clean,
+                     COUNT(*) AS n_kept
+              FROM lines l JOIN ldf USING (line)
+              WHERE ldf.line_docs <= {_PARA_MAX_DF} GROUP BY l.doc_id),
+     tot AS (SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(k.text_clean, '') AS text_clean,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_total AS BIGINT) AS n_total
+FROM tot t LEFT JOIN kept k USING (doc_id)""",
+)
+def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate removal over the framed corpus: lines shared
+    by more than max_df distinct docs are dropped, survivors reassembled in
+    order. Spark keys the df-aggregate and re-join on the 32-byte sha2 line
+    digest; the oracle joins on line text — identical grouping, cheaper
+    shuffle. Fully-boilerplate docs survive as empty strings."""
+    framed = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_FRAME_SQL).alias("text"), "source"
+    )
+    return cleaning.paragraph_dedup(framed, max_df=_PARA_MAX_DF)
 
 
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]

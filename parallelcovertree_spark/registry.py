@@ -2048,6 +2048,35 @@ def ball_radii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact high-dim kNN: cover-tree top level as routing structure ------------
+
+
+@_register(
+    "knn_highdim_embeddings",
+    f"""{_Q_CTE},
+d AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, SUM((a.e - b.e) * (a.e - b.e)) AS d2
+  FROM flat a JOIN flat b USING (i) WHERE a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+),
+r AS (SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, dst) AS rk
+      FROM d)
+SELECT src, rk AS nbr_rank, dst FROM r WHERE rk <= 10""",
+)
+def knn_highdim_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L2 top-10 over the 64-dim embeddings via hub-routed pruning
+    (operators/knn_highdim.py) — the regime the 2-D grid cannot reach and
+    the scalable exact-ground-truth generator for ANN recall evaluation.
+    Quantized-integer distances, (d², id) tie-break ⇒ bit-identical to the
+    oracle's by-definition O(n²) self-join."""
+    from parallelcovertree_spark.operators.knn_highdim import hub_knn_highdim
+
+    return hub_knn_highdim(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), k=10, n_hubs=16
+    )
+
+
 # --- text cleaning: PII scrub + CCNet-style paragraph dedup -------------------
 
 # Deterministic PII enrichment shared verbatim by both engines (the planted-

@@ -1,0 +1,105 @@
+"""hub_knn_highdim: exact high-dim kNN vs numpy brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from parallelcovertree_spark.operators.knn_highdim import (
+    _fps,
+    _pairwise_d2,
+    hub_knn_highdim,
+)
+
+DIM = 16
+
+
+def _mk_vecs(n: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, DIM)).astype(np.float32)
+    return [(i, X[i].tolist()) for i in range(n)]
+
+
+def _brute(rows, k: int) -> set[tuple[int, int, int]]:
+    ids = np.array([r[0] for r in rows])
+    Q = np.round(np.array([r[1] for r in rows], dtype=np.float64) * 10_000)
+    d2 = _pairwise_d2(Q, Q)
+    np.fill_diagonal(d2, np.inf)
+    out = set()
+    for i in range(len(ids)):
+        order = np.lexsort((ids, d2[i]))[: min(k, len(ids) - 1)]
+        for rk, j in enumerate(order, start=1):
+            out.add((int(ids[i]), rk, int(ids[j])))
+    return out
+
+
+def test_matches_brute_force(spark):
+    rows = _mk_vecs(300)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.src, r.nbr_rank, r.dst)
+        for r in hub_knn_highdim(df, k=5, n_hubs=8).collect()
+    }
+    assert got == _brute(rows, k=5)
+
+
+def test_exact_regardless_of_hub_count(spark):
+    # hub choice is a routing decision only — the answer must be identical
+    rows = _mk_vecs(200, seed=11)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, hub_knn_highdim(df, k=4, n_hubs=2).collect()))
+    b = sorted(map(tuple, hub_knn_highdim(df, k=4, n_hubs=32).collect()))
+    assert a == b == sorted(_brute(rows, k=4))
+
+
+def test_fewer_points_than_k(spark):
+    rows = _mk_vecs(6, seed=3)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.src, r.nbr_rank, r.dst)
+        for r in hub_knn_highdim(df, k=10, n_hubs=4).collect()
+    }
+    assert got == _brute(rows, k=10)  # every src gets all 5 others
+
+
+def test_duplicate_vectors_tie_break_by_id(spark):
+    base = _mk_vecs(40, seed=5)
+    rows = base + [(100 + i, v) for i, v in [(j, base[j][1]) for j in range(10)]]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.src, r.nbr_rank, r.dst)
+        for r in hub_knn_highdim(df, k=3, n_hubs=4).collect()
+    }
+    assert got == _brute(rows, k=3)
+
+
+def test_fps_spreads_hubs():
+    # clustered data: FPS must pick one hub per far-apart cluster
+    rng = np.random.default_rng(0)
+    centers = np.array([[0.0] * DIM, [100.0] * DIM, [-100.0] * DIM])
+    X = np.vstack([c + rng.normal(size=(20, DIM)) for c in centers])
+    hubs = X[_fps(X, 3)]
+    d2 = _pairwise_d2(hubs, centers)
+    assert sorted(d2.argmin(axis=1).tolist()) == [0, 1, 2]
+
+
+def test_pruning_skips_far_hubs(spark):
+    # tight, well-separated clusters: with a finite d_k, the triangle bound
+    # must exclude the far clusters — candidate volume stays near local-only
+    rng = np.random.default_rng(42)
+    rows = []
+    for c in range(8):
+        center = np.zeros(DIM)
+        center[0] = c * 1000.0
+        for i in range(40):
+            rows.append((c * 40 + i, (center + rng.normal(size=DIM)).tolist()))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    out = hub_knn_highdim(df, k=5, n_hubs=8)
+    assert {
+        (r.src, r.nbr_rank, r.dst) for r in out.collect()
+    } == _brute(rows, k=5)
+    # every neighbor stays inside the source's cluster
+    for r in out.collect():
+        assert r.src // 40 == r.dst // 40

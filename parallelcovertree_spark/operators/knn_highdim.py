@@ -263,4 +263,147 @@ def hub_knn_highdim(
     )
 
 
-__all__ = ["hub_knn_highdim"]
+def hub_epsilon_highdim(
+    emb: DataFrame,
+    radius_q: int,
+    n_hubs: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+) -> DataFrame:
+    """(src, dst) — the exact ε-graph over an embedding column: every ordered
+    pair (self-loops included, flagship ε-join semantics) with quantized L2
+    distance ≤ ``radius_q``.
+
+    Same hub structure as :func:`hub_knn_highdim`, simpler routing: q visits
+    hub h′ iff d(q, c_h′) − R_h′ ≤ r (+slack). Symmetry needs no special
+    casing — if d(q, m) ≤ r for m in h′, then q's bound admits h′ AND m's
+    bound admits q's hub, so each direction is emitted exactly once (local
+    pairs from the home hub, cross pairs only as visitor→member, which are
+    disjoint because a visitor is never a member). The exact ground-truth
+    companion to the LSH `embedding_neardup` scale path.
+    """
+    spark = emb.sparkSession
+    q = emb.select(F.col(id_col).alias("src"), quantize(vec_col).alias("qv"))
+    t2 = float(radius_q) * float(radius_q)
+    r = float(radius_q)
+
+    sample = (
+        q.where(F.pmod(F.xxhash64("src"), F.lit(8)) == 0)
+        .limit(sample_cap)
+        .collect()
+    )
+    if len(sample) < n_hubs:
+        sample = q.limit(sample_cap).collect()
+    SX = np.asarray([row.qv for row in sample], dtype=np.float64)
+    hub_mat = SX[_fps(SX, n_hubs)]
+    n_hubs_eff = len(hub_mat)
+    sc = spark.sparkContext
+    b_hubs = sc.broadcast(hub_mat)
+
+    def assign(batches):
+        H = b_hubs.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["qv"].tolist(), dtype=np.float64)
+            d2 = _pairwise_d2(X, H)
+            h = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "src": pdf["src"].to_numpy(),
+                    "qv": pdf["qv"],
+                    "hub": h.astype(np.int32),
+                    "d2h": d2[np.arange(len(h)), h],
+                }
+            )
+
+    assigned = (
+        q.mapInPandas(assign, "src bigint, qv array<bigint>, hub int, d2h double")
+        .repartition("hub")
+        .localCheckpoint()
+    )
+
+    radii = {
+        row.hub: float(row.R2)
+        for row in assigned.groupBy("hub").agg(F.max("d2h").alias("R2")).collect()
+    }
+    b_radii = sc.broadcast(
+        np.array([radii.get(h, 0.0) for h in range(n_hubs_eff)])
+    )
+
+    def local_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        X = np.asarray(pdf["qv"].tolist(), dtype=np.float64)
+        ids = pdf["src"].to_numpy()
+        frames = []
+        for lo in range(0, len(X), _BLOCK):
+            d2 = _pairwise_d2(X[lo : lo + _BLOCK], X)
+            rows, cols = np.nonzero(d2 <= t2)
+            frames.append(
+                pd.DataFrame({"src": ids[lo + rows], "dst": ids[cols]})
+            )
+        return (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                               "dst": pd.Series(dtype=np.int64)})
+        )
+
+    local = assigned.groupBy("hub").applyInPandas(
+        local_pairs, "src bigint, dst bigint"
+    )
+
+    def visits(batches):
+        H = b_hubs.value
+        R = np.sqrt(b_radii.value)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["qv"].tolist(), dtype=np.float64)
+            dh = np.sqrt(np.maximum(_pairwise_d2(X, H), 0.0))
+            need = (dh - R[None, :]) <= (r + _SLACK)
+            need[np.arange(len(X)), pdf["hub"].to_numpy()] = False
+            rows, hubs = np.nonzero(need)
+            yield pd.DataFrame(
+                {
+                    "hub": hubs.astype(np.int32),
+                    "src": pdf["src"].to_numpy()[rows],
+                    "qv": pdf["qv"].iloc[rows].to_numpy(),
+                }
+            )
+
+    visit_df = assigned.mapInPandas(visits, "hub int, src bigint, qv array<bigint>")
+
+    def cross(members: pd.DataFrame, visitors: pd.DataFrame) -> pd.DataFrame:
+        if not len(members) or not len(visitors):
+            return pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                                 "dst": pd.Series(dtype=np.int64)})
+        M = np.asarray(members["qv"].tolist(), dtype=np.float64)
+        mids = members["src"].to_numpy()
+        V = np.asarray(visitors["qv"].tolist(), dtype=np.float64)
+        vids = visitors["src"].to_numpy()
+        frames = []
+        for lo in range(0, len(V), _BLOCK):
+            d2 = _pairwise_d2(V[lo : lo + _BLOCK], M)
+            rows, cols = np.nonzero(d2 <= t2)
+            frames.append(
+                pd.DataFrame({"src": vids[lo + rows], "dst": mids[cols]})
+            )
+        return (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame({"src": pd.Series(dtype=np.int64),
+                               "dst": pd.Series(dtype=np.int64)})
+        )
+
+    foreign = (
+        assigned.select("hub", "src", "qv")
+        .groupby("hub")
+        .cogroup(visit_df.groupby("hub"))
+        .applyInPandas(cross, "src bigint, dst bigint")
+    )
+
+    return local.unionByName(foreign)
+
+
+__all__ = ["hub_epsilon_highdim", "hub_knn_highdim"]

@@ -2077,6 +2077,31 @@ def knn_highdim_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPS_HD_RQ = 12_000  # quantized-domain radius (1.2 raw): ~1% of pair distances
+
+
+@_register(
+    "epsilon_highdim_embeddings",
+    f"""{_Q_CTE},
+d AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, SUM((a.e - b.e) * (a.e - b.e)) AS d2
+  FROM flat a JOIN flat b USING (i)
+  GROUP BY 1, 2
+)
+SELECT src, dst FROM d WHERE d2 <= {_EPS_HD_RQ * _EPS_HD_RQ}""",
+)
+def epsilon_highdim_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ε-graph over the 64-dim embeddings (self-loops included,
+    flagship ε-join semantics) via the hub-routed plan — the exact
+    ground-truth companion to the LSH `embedding_neardup` scale path."""
+    from parallelcovertree_spark.operators.knn_highdim import hub_epsilon_highdim
+
+    return hub_epsilon_highdim(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        radius_q=_EPS_HD_RQ, n_hubs=16,
+    )
+
+
 # --- text cleaning: PII scrub + CCNet-style paragraph dedup -------------------
 
 # Deterministic PII enrichment shared verbatim by both engines (the planted-

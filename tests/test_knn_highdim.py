@@ -72,6 +72,50 @@ def test_duplicate_vectors_tie_break_by_id(spark):
     assert got == _brute(rows, k=3)
 
 
+def _brute_eps(rows, radius_q: float) -> set[tuple[int, int]]:
+    ids = np.array([r[0] for r in rows])
+    Q = np.round(np.array([r[1] for r in rows], dtype=np.float64) * 10_000)
+    d2 = _pairwise_d2(Q, Q)
+    out = set()
+    for i, j in zip(*np.nonzero(d2 <= radius_q * radius_q)):
+        out.add((int(ids[i]), int(ids[j])))
+    return out
+
+
+def test_epsilon_matches_brute_force(spark):
+    from parallelcovertree_spark.operators.knn_highdim import hub_epsilon_highdim
+
+    rows = _mk_vecs(250, seed=19)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # radius at roughly the 5th-percentile pair distance: nontrivial edges
+    Q = np.round(np.array([r[1] for r in rows], dtype=np.float64) * 10_000)
+    d2 = _pairwise_d2(Q, Q)
+    rq = float(np.sqrt(np.quantile(d2[d2 > 0], 0.05)))
+    raw = [(r.src, r.dst)
+           for r in hub_epsilon_highdim(df, radius_q=rq, n_hubs=8).collect()]
+    got = set(raw)
+    assert len(raw) == len(got)  # every ordered pair emitted exactly once
+    assert got == _brute_eps(rows, rq)
+    assert all((i, i) in got for i in range(250))  # self-loops present
+    # symmetric by construction
+    assert all((b, a) in got for a, b in got)
+
+
+def test_epsilon_exact_regardless_of_hub_count(spark):
+    from parallelcovertree_spark.operators.knn_highdim import hub_epsilon_highdim
+
+    rows = _mk_vecs(120, seed=23)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    Q = np.round(np.array([r[1] for r in rows], dtype=np.float64) * 10_000)
+    d2 = _pairwise_d2(Q, Q)
+    rq = float(np.sqrt(np.quantile(d2[d2 > 0], 0.08)))
+    a = sorted({(r.src, r.dst)
+                for r in hub_epsilon_highdim(df, radius_q=rq, n_hubs=2).collect()})
+    b = sorted({(r.src, r.dst)
+                for r in hub_epsilon_highdim(df, radius_q=rq, n_hubs=24).collect()})
+    assert a == b == sorted(_brute_eps(rows, rq))
+
+
 def test_fps_spreads_hubs():
     # clustered data: FPS must pick one hub per far-apart cluster
     rng = np.random.default_rng(0)

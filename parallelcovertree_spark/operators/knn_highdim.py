@@ -96,8 +96,13 @@ def hub_knn_highdim(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_cap: int = 4096,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """(src, nbr_rank, dst) — exact L2 top-k over an embedding column."""
+    """(src, nbr_rank, dst) — exact L2 top-k over an embedding column.
+
+    Pass a dict as ``stats`` to get pruning diagnostics back (extra count
+    jobs, measurement only): ``n`` vectors, ``visits`` refinement routings
+    (n·(n_hubs−1) would be no pruning), ``n_hubs``."""
     spark = emb.sparkSession
     q = emb.select(F.col(id_col).alias("src"), quantize(vec_col).alias("qv"))
 
@@ -223,6 +228,11 @@ def hub_knn_highdim(
             )
 
     visit_df = routed.mapInPandas(visits, "hub int, src bigint, qv array<bigint>")
+    if stats is not None:
+        visit_df = visit_df.localCheckpoint()
+        stats["n"] = assigned.count()
+        stats["visits"] = visit_df.count()
+        stats["n_hubs"] = n_hubs_eff
 
     def cross(members: pd.DataFrame, visitors: pd.DataFrame) -> pd.DataFrame:
         if not len(members) or not len(visitors):

@@ -91,32 +91,28 @@ def paragraph_dedup(
         F.countDistinct(id_col).alias("line_docs")
     )
 
-    kept = (
+    # one grouped pass computes survivors AND totals (collect_list drops the
+    # NULLs the `when` emits for boilerplate lines, so fully-boilerplate docs
+    # come out as empty strings without an outer-join branch — and the input
+    # is scanned twice, not three times)
+    keep = F.col("line_docs") <= max_df
+    return (
         lines.join(line_df, "line_key")
-        .where(F.col("line_docs") <= max_df)
         .groupBy(id_col)
         .agg(
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("pos"), F.col("line")))
+                        )
                     ),
                     lambda s: s.getField("line"),
                 ),
                 sep,
             ).alias("text_clean"),
-            F.count("*").alias("n_kept"),
-        )
-    )
-
-    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_total"))
-    return (
-        totals.join(kept, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
-            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-            F.col("n_total").cast("bigint"),
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.count("*").alias("n_total"),
         )
     )
 

@@ -150,7 +150,6 @@ def minhash_signatures_np(
     n_perm: int = 128,
     id_col: str = "doc_id",
     text_col: str = "text",
-    perm_chunk: int = 16,
 ) -> DataFrame:
     """(doc_id, sig array<long>) — engine-grade MinHash signatures.
 
@@ -159,8 +158,7 @@ def minhash_signatures_np(
     compute ``a·h + b`` (uint64 wraparound — a valid universal family for
     min-hashing) over the flat token vector and take per-document minima
     with 1-D ``np.minimum.reduceat``. Memory is bounded by
-    ``tokens_in_batch × 8`` bytes of temp per permutation. (``perm_chunk``
-    is retained for API compatibility; the 1-D loop obsoleted it.)
+    ``tokens_in_batch × 8`` bytes of temp per permutation.
     """
     import numpy as np
     import pandas as pd

@@ -117,11 +117,85 @@ def paragraph_dedup(
     )
 
 
+# URL canonicalization (the dedup-key normalization every web pipeline runs
+# before exact/host-level dedup). Shared Java-regex ∩ RE2 patterns; the
+# Spark side binds them through the DataFrame API (no SQL-literal escape
+# divergence), the DuckDB oracle uses raw-escape literals with the 'g' flag
+# to match Spark's replace-all semantics.
+URL_PREFIX_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"  # scheme://host[:port]
+URL_FRAG_RE = "#.*$"
+URL_UTM_MID_RE = "&utm_[^&]*"          # non-first utm_* params
+URL_UTM_FIRST_RE = r"\?utm_[^&]*&"     # first utm_* param with a successor
+URL_UTM_LONE_RE = r"\?utm_[^&]*$"      # utm_* as the only query param
+URL_HOST_RE = "://(.*)"
+
+
+def url_normalize(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, url_norm, host) — canonical URL + registrable host per doc.
+
+    Rules (the portable core of web-crawl canonicalization): lowercase
+    scheme and host, drop the scheme's default port (:80 / :443), strip the
+    fragment, strip utm_* tracking params (first, middle, or lone position —
+    separator repair without backreferences, so the identical patterns run
+    on both engines). Pure codegen projection — no shuffle, no UDF.
+    """
+    u = F.regexp_replace(F.col(url_col), URL_FRAG_RE, "")
+    prefix = F.regexp_extract(u, URL_PREFIX_RE, 0)
+    rest = u.substr(F.length(prefix) + F.lit(1), F.lit(1_000_000))
+    low = F.lower(prefix)
+    lowp = (
+        F.when(low.startswith("http://"), F.regexp_replace(low, ":80$", ""))
+        .when(low.startswith("https://"), F.regexp_replace(low, ":443$", ""))
+        .otherwise(low)
+    )
+    joined = F.concat(lowp, rest)
+    joined = F.regexp_replace(joined, URL_UTM_MID_RE, "")
+    joined = F.regexp_replace(joined, URL_UTM_FIRST_RE, "?")
+    joined = F.regexp_replace(joined, URL_UTM_LONE_RE, "")
+    return docs.select(
+        F.col(id_col),
+        joined.alias("url_norm"),
+        F.regexp_extract(lowp, URL_HOST_RE, 1).alias("host"),
+    )
+
+
+def url_normalize_oracle_sql(url_expr: str, id_expr: str = "doc_id") -> str:
+    """The DuckDB replay of :func:`url_normalize` over ``url_expr``."""
+    stripped = f"regexp_replace({url_expr}, '#.*$', '', 'g')"
+    prefix = f"regexp_extract({stripped}, '{URL_PREFIX_RE}', 0)"
+    rest = f"substring({stripped}, length({prefix}) + 1)"
+    lowp = (
+        f"CASE WHEN lower({prefix}) LIKE 'http://%' "
+        f"THEN regexp_replace(lower({prefix}), ':80$', '', 'g') "
+        f"WHEN lower({prefix}) LIKE 'https://%' "
+        f"THEN regexp_replace(lower({prefix}), ':443$', '', 'g') "
+        f"ELSE lower({prefix}) END"
+    )
+    joined = f"({lowp} || {rest})"
+    joined = f"regexp_replace({joined}, '&utm_[^&]*', '', 'g')"
+    joined = f"regexp_replace({joined}, '\\?utm_[^&]*&', '?', 'g')"
+    joined = f"regexp_replace({joined}, '\\?utm_[^&]*$', '', 'g')"
+    return (
+        f"SELECT {id_expr}, {joined} AS url_norm, "
+        f"regexp_extract({lowp}, '://(.*)', 1) AS host"
+    )
+
+
 __all__ = [
     "EMAIL_RE",
     "EMAIL_TAG",
     "PHONE_RE",
     "PHONE_TAG",
+    "URL_FRAG_RE",
+    "URL_HOST_RE",
+    "URL_PREFIX_RE",
+    "URL_UTM_FIRST_RE",
+    "URL_UTM_LONE_RE",
+    "URL_UTM_MID_RE",
     "paragraph_dedup",
     "pii_scrub",
+    "url_normalize",
+    "url_normalize_oracle_sql",
 ]

@@ -2142,6 +2142,36 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic messy-URL synthesis shared by both engines: mixed-case
+# scheme/host (every doc), explicit default port on every 4th, utm params in
+# first/mid/last positions on every 2nd, fragment on every 3rd.
+_URL_ENRICH_SQL = (
+    "'HTTPS://Site' || CAST(doc_id % 97 AS STRING) || '.Example.com'"
+    " || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)"
+    " || '/Path/' || CAST(doc_id AS STRING)"
+    " || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || "
+    "CAST(doc_id AS STRING) || '&utm_campaign=x' ELSE '' END)"
+    " || (CASE WHEN doc_id % 3 = 0 THEN '#Frag' ELSE '' END)"
+)
+
+
+@_register(
+    "url_normalize",
+    f"""WITH pages AS (SELECT doc_id, {_URL_ENRICH_SQL} AS url FROM documents)
+{cleaning.url_normalize_oracle_sql("url")} FROM pages""",
+)
+def url_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministically planted messy URLs:
+    lowercase scheme+host, drop default port, strip fragment and utm_*
+    params in every position (separator repair without backreferences, so
+    Spark and DuckDB run the identical patterns). Pure codegen projection —
+    the normalization every web pipeline applies before URL/host dedup."""
+    pages = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_URL_ENRICH_SQL).alias("url")
+    )
+    return cleaning.url_normalize(pages)
+
+
 # Boilerplate framing shared verbatim by both engines: a nav line on every
 # doc, a cookie banner on every 7th, a per-source copyright footer — the
 # line-document-frequency threshold must drop all three frames (their df

@@ -50,6 +50,35 @@ def test_pii_scrub_email_masked_before_phone_check(spark):
     assert (row.n_emails, row.n_phones) == (1, 1)  # counts audit the raw text
 
 
+URL_CASES = [
+    # (raw, expected url_norm, expected host)
+    ("HTTPS://WWW.Example.COM:443/A/B?id=1#frag",
+     "https://www.example.com/A/B?id=1", "www.example.com"),
+    ("http://Host.io:80/x", "http://host.io/x", "host.io"),
+    ("http://host.io:443/x", "http://host.io:443/x", "host.io:443"),  # non-default port kept
+    ("https://a.b/p?utm_source=x&id=2&utm_campaign=y",
+     "https://a.b/p?id=2", "a.b"),
+    ("https://a.b/p?utm_only=1", "https://a.b/p", "a.b"),
+    ("https://a.b/p?utm_a=1&utm_b=2&z=3", "https://a.b/p?z=3", "a.b"),
+    ("https://a.b/p?id=5#sec?utm_x=1", "https://a.b/p?id=5", "a.b"),  # frag stripped first
+    ("no-scheme/relative?utm_x=1", "no-scheme/relative", ""),
+    ("https://CaseInPath.example/KeepCase/Path", "https://caseinpath.example/KeepCase/Path",
+     "caseinpath.example"),
+]
+
+
+def test_url_normalize_cases(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _, _) in enumerate(URL_CASES)],
+        "doc_id long, url string",
+    )
+    from parallelcovertree_spark.operators.cleaning import url_normalize
+
+    got = {r.doc_id: (r.url_norm, r.host) for r in url_normalize(df).collect()}
+    for i, (_, norm, host) in enumerate(URL_CASES):
+        assert got[i] == (norm, host), (i, got[i])
+
+
 def _para_py(docs: list[tuple[int, str]], max_df: int) -> dict[int, tuple[str, int, int]]:
     from collections import defaultdict
 

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "content_bucket",
+    "doc_commonness",
     "doc_term_freq",
     "term_doc_freq",
     "tfidf_top_terms",
@@ -69,6 +70,38 @@ def term_doc_freq(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("doc_freq"),
         F.sum("tf").alias("total_tf"),
+    )
+
+
+def doc_commonness(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sum_df, n_tok, commonness) — average corpus document
+    frequency of a document's token occurrences: the corpus-statistics
+    quality signal (very low ⇒ rare/garbled vocabulary, very high ⇒
+    boilerplate) a pipeline thresholds where an LM-perplexity filter would
+    sit, but with exact integer counts and ONE IEEE division, so it is
+    oracle-checkable (no transcendentals, per the registry discipline).
+
+    One token pass: the per-doc tf table feeds BOTH the term-df aggregate
+    and the scoring join (the shared-lineage rule from tfidf_top_terms) —
+    shuffles carry distinct (doc, term) rows, then term-keyed join rows,
+    never raw tokens."""
+    tf = doc_term_freq(docs, text_col, id_col)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        tf.join(dfreq, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("tf") * F.col("doc_freq")).alias("sum_df"),
+            F.sum("tf").alias("n_tok"),
+        )
+        .select(
+            id_col,
+            "sum_df",
+            "n_tok",
+            (F.col("sum_df").cast("double") / F.col("n_tok")).alias("commonness"),
+        )
     )
 
 

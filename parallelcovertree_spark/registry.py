@@ -682,6 +682,26 @@ def corpus_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "doc_commonness",
+    f"""{_TOK_CTE},
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf * dfreq.doc_freq) AS BIGINT) AS sum_df,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tok,
+       CAST(SUM(tf.tf * dfreq.doc_freq) AS DOUBLE) / SUM(tf.tf) AS commonness
+FROM tf JOIN dfreq USING (term) GROUP BY tf.doc_id""",
+)
+def doc_commonness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average corpus document-frequency of each doc's token occurrences —
+    the exact-arithmetic stand-in for an LM-perplexity quality filter
+    (operators/corpus.py::doc_commonness): integer df/tf sums, one IEEE
+    division, shared tf lineage (one token pass)."""
+    from parallelcovertree_spark.operators.corpus import doc_commonness
+
+    return doc_commonness(_docs(spark, sf_dir))
+
+
+@_register(
     "tfidf_top_terms",
     f"""{_TOK_CTE},
 df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term),

@@ -174,3 +174,24 @@ def test_stratified_sample_deterministic_and_duplicate_stable(docs_df):
     assert (0 in kept) == (4 in kept)
     for r in a:
         assert 0 <= r["bucket"] < 4294967296
+
+
+def test_doc_commonness_matches_counter(docs_df):
+    from parallelcovertree_spark.operators.corpus import doc_commonness
+
+    dfreq = Counter()
+    for _, text, _ in DOCS:
+        for t in set(_toks(text)):
+            dfreq[t] += 1
+    got = {r.doc_id: (r.sum_df, r.n_tok, r.commonness)
+           for r in doc_commonness(docs_df).collect()}
+    for i, text, _ in DOCS:
+        toks = _toks(text)
+        if not toks:
+            assert i not in got  # empty doc absent, like every token op
+            continue
+        sum_df = sum(dfreq[t] for t in toks)
+        assert got[i] == (sum_df, len(toks), sum_df / len(toks)), i
+    # duplicate docs score identically; the all-repeats doc is df-1 per token
+    assert got[0] == got[4]
+    assert got[2] == (9, 3, 3.0)  # cat: df=3 (docs 0,2,4) x 3 occurrences

@@ -2068,6 +2068,46 @@ def ball_radii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- link graph: integer-exact PageRank ---------------------------------------
+
+
+@_register(
+    "pagerank_docs",
+    None,  # assembled below from pagerank_oracle_sql
+)
+def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a deterministically planted doc link graph (every doc
+    links to (7·id+1) mod n and (13·id+3) mod n): 5 truncating-integer
+    power iterations — one src-keyed join + one dst-keyed aggregate each —
+    so the DuckDB oracle replays every iteration bit-for-bit
+    (operators/graph.py). The crawl-prioritization pass of a web pipeline."""
+    from parallelcovertree_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    d = F.col("doc_id")
+    e1 = docs.select(d.alias("src"), ((d * 7 + 1) % n).alias("dst"))
+    e2 = docs.select(d.alias("src"), ((d * 13 + 3) % n).alias("dst"))
+    return pagerank(e1.unionByName(e2), n_iter=5)
+
+
+def _pagerank_oracle() -> str:
+    from parallelcovertree_spark.operators.graph import pagerank_oracle_sql
+
+    n_sub = "(SELECT COUNT(*) FROM documents)"
+    edges = (
+        f"SELECT doc_id AS src, (doc_id * 7 + 1) % {n_sub} AS dst FROM documents "
+        f"UNION ALL "
+        f"SELECT doc_id AS src, (doc_id * 13 + 3) % {n_sub} AS dst FROM documents"
+    )
+    return pagerank_oracle_sql(
+        "SELECT doc_id AS node FROM documents", edges, n_iter=5
+    )
+
+
+_ORACLES["pagerank_docs"] = _pagerank_oracle()
+
+
 # --- exact high-dim kNN: cover-tree top level as routing structure ------------
 
 

@@ -1,0 +1,49 @@
+"""Integer-exact PageRank vs a pure-Python twin."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from parallelcovertree_spark.operators.graph import PR_INIT, pagerank
+
+
+def _pagerank_py(edges, n_iter=5, init=PR_INIT):
+    nodes = {v for e in edges for v in e}
+    outdeg = defaultdict(int)
+    for s, _ in edges:
+        outdeg[s] += 1
+    base = 15 * init // 100
+    r = {v: init for v in nodes}
+    for _ in range(n_iter):
+        s = defaultdict(int)
+        for a, b in edges:
+            s[b] += r[a] // outdeg[a]
+        r = {v: base + (85 * s[v]) // 100 for v in nodes}
+    return r
+
+
+# 0→1, 0→2, 1→2, 2→0, plus a dangling sink (3) and a source-only node (4),
+# and a parallel edge 4→2 ×2 (counts twice)
+EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 2), (4, 2)]
+
+
+def test_pagerank_matches_python_twin(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, n_iter=5).collect()}
+    assert got == _pagerank_py(EDGES, n_iter=5)
+
+
+def test_pagerank_partition_invariant(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    a = sorted(map(tuple, pagerank(df.coalesce(1), n_iter=3).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(7), n_iter=3).collect()))
+    assert a == b
+
+
+def test_pagerank_structure(spark):
+    # sink node 3 keeps collecting rank it never redistributes; the
+    # source-only node 4 settles at the base rank
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, n_iter=5).collect()}
+    assert got[4] == 15 * PR_INIT // 100
+    assert got[2] == max(got.values())  # highest in-degree wins here

@@ -40,10 +40,17 @@ def pagerank(
     """(node, rank) after ``n_iter`` integer power iterations over
     (src, dst) edges. Both endpoints define the node set; duplicate edges
     count as parallel links (each carries a contribution)."""
+    # iterative-algorithm discipline (same as the CC pointer-doubling op):
+    # the graph structure is consumed once per iteration on both sides of a
+    # join — materialize it once instead of re-deriving from the source scan
+    # in every iteration's lineage; the ContextCleaner releases the blocks
+    # when the returned DataFrame is dropped.
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     # distinct column names per role — edges appears in several lineages per
     # iteration, so qualified aliases keep every join unambiguous
@@ -51,6 +58,7 @@ def pagerank(
         edges.groupBy("src")
         .agg(F.count(F.lit(1)).alias("outdeg"))
         .withColumnRenamed("src", "deg_node")
+        .localCheckpoint()
     )
     base = 15 * init // 100
 

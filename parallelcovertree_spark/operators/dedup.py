@@ -35,6 +35,94 @@ def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     return docs.select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
 
 
+# duplicate-passage detection (Lee et al. 2022 exact-substring dedup, at
+# token-window granularity): polynomial rolling hash mod a prime, portable
+# token hash, so candidates are identical cross-engine
+PASSAGE_W = 8
+PASSAGE_MOD = 1_000_000_007
+PASSAGE_BASE = 131
+
+
+def dup_passages(
+    docs: DataFrame,
+    w: int = PASSAGE_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, dup_ratio) — per-doc count of
+    length-``w`` token windows whose hash occurs more than once in the
+    corpus (the candidate stage of exact-substring dedup: a pipeline drops
+    or trims documents whose dup_ratio crosses a threshold).
+
+    One codegen HOF projection computes every window hash inside the scan
+    stage — ``transform(sequence(...)) → aggregate(slice(...))``, O(n·w)
+    JVM work per doc, tokens never leave the executor — then one hash-keyed
+    count (map-side partials absorb the hot boilerplate windows) and one
+    join back. Candidates, not proof: distinct windows may collide
+    (~w/10⁹ per pair); the same rule runs on both engines so the gate is
+    still bit-exact. Docs with fewer than ``w`` tokens have no windows and
+    are absent from the output (the oracle replays the same rule)."""
+    tok_h = TOKEN_HASH_SQL.format(tok="t")
+    arr = f"filter(split({text_col}, ' '), t -> t <> '')"
+    hashes = (
+        f"IF(size({arr}) >= {w}, "
+        f"transform(sequence(1, size({arr}) - {w} + 1), "
+        f"i -> aggregate(slice({arr}, i, {w}), CAST(0 AS BIGINT), "
+        f"(acc, t) -> (acc * {PASSAGE_BASE} + {tok_h}) % {PASSAGE_MOD})), "
+        f"array())"
+    )
+    wins = docs.select(
+        F.col(id_col), F.explode(F.expr(hashes)).alias("h")
+    )
+    counts = wins.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        wins.join(counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.when(F.col("c") > 1, 1)).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.col("n_dup_windows").cast("double") / F.col("n_windows"),
+        )
+    )
+
+
+def dup_passages_oracle_sql(w: int = PASSAGE_W) -> str:
+    """DuckDB replay: the polynomial hash as a positional-coefficient SUM
+    (Σ h_j·131^(w-1-j) mod M — algebraically identical to the engine's
+    left-fold, every intermediate bounded far below 2⁶³)."""
+    tok_h = TOKEN_HASH_SQL.format(tok="t.term")
+    coef = " ".join(
+        f"WHEN t.pos - s.pos = {k} THEN {pow(PASSAGE_BASE, w - 1 - k, PASSAGE_MOD)}"
+        for k in range(w)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS term
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ls
+        FROM documents)
+),
+nt AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+starts AS (
+  SELECT t.doc_id, t.pos FROM toks t JOIN nt USING (doc_id)
+  WHERE t.pos <= nt.n - {w} + 1
+),
+wins AS (
+  SELECT s.doc_id, s.pos AS start,
+         SUM((({tok_h}) * (CASE {coef} END)) % {PASSAGE_MOD}) % {PASSAGE_MOD} AS h
+  FROM starts s JOIN toks t
+    ON t.doc_id = s.doc_id AND t.pos BETWEEN s.pos AND s.pos + {w - 1}
+  GROUP BY 1, 2
+),
+counts AS (SELECT h, COUNT(*) AS c FROM wins GROUP BY h)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(COUNT(CASE WHEN counts.c > 1 THEN 1 END) AS BIGINT) AS n_dup_windows,
+       CAST(COUNT(CASE WHEN counts.c > 1 THEN 1 END) AS DOUBLE) / COUNT(*) AS dup_ratio
+FROM wins w JOIN counts USING (h) GROUP BY w.doc_id"""
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash) — per-bit majority vote over token hashes.
     One explode + one groupBy: map-side partial aggregation does the heavy

@@ -2068,6 +2068,29 @@ def ball_radii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- duplicate-passage detection (exact-substring dedup candidates) -----------
+
+
+@_register("dup_passages", None)  # oracle assembled below
+def dup_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated token-window counts (Lee et al. exact-substring
+    dedup, candidate stage): every 8-token window hashed with a polynomial
+    rolling hash inside one codegen HOF projection, one hash-keyed count,
+    one join back (operators/dedup.py::dup_passages)."""
+    from parallelcovertree_spark.operators.dedup import dup_passages
+
+    return dup_passages(_docs(spark, sf_dir))
+
+
+def _dup_passages_oracle() -> str:
+    from parallelcovertree_spark.operators.dedup import dup_passages_oracle_sql
+
+    return dup_passages_oracle_sql()
+
+
+_ORACLES["dup_passages"] = _dup_passages_oracle()
+
+
 # --- link graph: integer-exact PageRank ---------------------------------------
 
 

@@ -195,3 +195,47 @@ def test_doc_commonness_matches_counter(docs_df):
     # duplicate docs score identically; the all-repeats doc is df-1 per token
     assert got[0] == got[4]
     assert got[2] == (9, 3, 3.0)  # cat: df=3 (docs 0,2,4) x 3 occurrences
+
+
+def test_dup_passages_matches_python_twin(spark):
+    from parallelcovertree_spark.operators.dedup import (
+        PASSAGE_BASE,
+        PASSAGE_MOD,
+        dup_passages,
+    )
+
+    shared = "one two three four five six seven eight"  # exactly w=8 tokens
+    docs = [
+        (0, shared + " tail a b c"),
+        (1, "prefix x " + shared),        # shares the w-window with doc 0
+        (2, "all unique tokens here never repeated anywhere once more"),
+        (3, "short doc"),                 # < w tokens: no windows, absent
+        (4, shared),                      # the shared window only
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_ratio)
+           for r in dup_passages(df, w=8).collect()}
+
+    def tok_h(t):
+        return ord(t[0]) * 961 + ord(t[-1]) * 31 + len(t)
+
+    from collections import Counter
+    win_of = {}
+    for i, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        win_of[i] = [
+            __import__("functools").reduce(
+                lambda acc, t: (acc * PASSAGE_BASE + tok_h(t)) % PASSAGE_MOD,
+                toks[s : s + 8], 0,
+            )
+            for s in range(len(toks) - 7)
+        ] if len(toks) >= 8 else []
+    counts = Counter(h for ws in win_of.values() for h in ws)
+    for i, _ in docs:
+        ws = win_of[i]
+        if not ws:
+            assert i not in got
+            continue
+        nd = sum(1 for h in ws if counts[h] > 1)
+        assert got[i] == (len(ws), nd, nd / len(ws)), i
+    assert got[4][1] >= 1  # the planted shared window is flagged everywhere

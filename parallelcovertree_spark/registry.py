@@ -2068,6 +2068,118 @@ def ball_radii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- product analytics: conversion funnel + retention cohorts -----------------
+
+
+@_register(
+    "conversion_funnel",
+    """WITH v AS (
+  SELECT user_id, MIN(EPOCH_US(ts)) AS v_us FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(EPOCH_US(e.ts)) AS c_us
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND EPOCH_US(e.ts) > v.v_us
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(EPOCH_US(e.ts)) AS p_us
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND EPOCH_US(e.ts) > c.c_us
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.v_us,
+       COALESCE(c.c_us, CAST(-1 AS BIGINT)) AS c_us,
+       COALESCE(p.p_us, CAST(-1 AS BIGINT)) AS p_us,
+       CAST(1 + (CASE WHEN c.c_us IS NOT NULL THEN 1 ELSE 0 END)
+              + (CASE WHEN p.p_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS reached
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id""",
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel per user (first view, first
+    strictly-later click, first strictly-later purchase): three progressive
+    min-aggregates + user-keyed joins — the sequence-analytics pass next to
+    sessionize and last-click attribution. Epoch micros via the shared
+    tz-free NTZ expression; missing steps encoded -1."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type",
+        F.expr(NTZ_EPOCH_US.format(ts="ts")).cast("long").alias("us"),
+    )
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("us").alias("v_us")
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "v_us",
+            F.coalesce("c_us", F.lit(-1).cast("long")).alias("c_us"),
+            F.coalesce("p_us", F.lit(-1).cast("long")).alias("p_us"),
+            (
+                F.lit(1)
+                + F.col("c_us").isNotNull().cast("int")
+                + F.col("p_us").isNotNull().cast("int")
+            ).cast("long").alias("reached"),
+        )
+    )
+
+
+_DAY_US = 86_400_000_000
+
+
+@_register(
+    "retention_cohorts",
+    f"""WITH act AS (
+  SELECT DISTINCT user_id, EPOCH_US(ts) // {_DAY_US} AS day FROM events
+),
+cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id)
+SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM act a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY 1, 2""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention matrix: users grouped by first-active day, counted
+    per later active day offset. Integer day buckets (epoch-us DIV day), so
+    the matrix is tz-independent and hash-exact. Two aggregates + one
+    user-keyed join; (cohort, offset) output is tiny at any corpus scale."""
+    act = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "user_id",
+            # integer DIV, never float-divide-then-cast (the sequence_packing
+            # rounding lesson): both engines truncate identically
+            F.expr(
+                f"CAST({NTZ_EPOCH_US.format(ts='ts')} AS BIGINT) DIV {_DAY_US}"
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 # --- duplicate-passage detection (exact-substring dedup candidates) -----------
 
 

@@ -102,3 +102,29 @@ def test_props_histogram_matches_json_parse(spark):
         c, lo, hi = expect.get(b, (0, k, k))
         expect[b] = (c + 1, min(lo, k), max(hi, k))
     assert got == expect
+
+
+def test_conversion_funnel_ordering(spark):
+    """Step timestamps must be strictly increasing when reached; reached
+    counts exactly the non-missing steps."""
+    from parallelcovertree_spark.registry import conversion_funnel
+
+    rows = conversion_funnel(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        steps = [u for u in (r.v_us, r.c_us, r.p_us) if u != -1]
+        assert steps == sorted(steps) and len(set(steps)) == len(steps)
+        assert r.reached == len(steps)
+        if r.p_us != -1:
+            assert r.c_us != -1  # no skipping steps
+
+
+def test_retention_cohorts_offsets(spark):
+    from parallelcovertree_spark.registry import retention_cohorts
+
+    rows = retention_cohorts(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.day_offset >= 0 for r in rows)
+    # offset 0 row exists for every cohort (the cohort's own first day)
+    cohorts = {r.cohort_day for r in rows}
+    zero = {r.cohort_day for r in rows if r.day_offset == 0}
+    assert cohorts == zero

@@ -2194,6 +2194,17 @@ def dup_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_passages(_docs(spark, sf_dir))
 
 
+@_register("dup_passages_engine", None)  # same oracle as dup_passages
+def dup_passages_engine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Independent numpy twin of dup_passages, checked against the SAME
+    DuckDB oracle — cross-validation of the hash rule. Measured: the HOF
+    op is FASTER (Arrow round-trip dominates; see the operator docstring),
+    so dup_passages remains the production plan."""
+    from parallelcovertree_spark.operators.dedup import dup_passages_np
+
+    return dup_passages_np(_docs(spark, sf_dir))
+
+
 def _dup_passages_oracle() -> str:
     from parallelcovertree_spark.operators.dedup import dup_passages_oracle_sql
 
@@ -2201,6 +2212,7 @@ def _dup_passages_oracle() -> str:
 
 
 _ORACLES["dup_passages"] = _dup_passages_oracle()
+_ORACLES["dup_passages_engine"] = _ORACLES["dup_passages"]
 
 
 # --- link graph: integer-exact PageRank ---------------------------------------

@@ -52,6 +52,53 @@ def _inside(px: Column, py: Column, cx: Column, cy: Column, rp: Column) -> Colum
     return cond
 
 
+def polygon_metrics(polys: DataFrame) -> DataFrame:
+    """(poly_id, area, perimeter) — exact shoelace area and edge-length sum
+    over the parametric hexagon vertices. Every value is one fixed
+    left-associated IEEE expression tree over the same literals on both
+    engines (sqrt is correctly rounded per IEEE-754, so it is
+    parity-safe, unlike transcendentals); pure projection, no shuffle."""
+    cx, cy, rp = F.col("cx"), F.col("cy"), F.col("rp")
+    area = None
+    perim = None
+    for k in range(len(HEX)):
+        ox1, oy1 = HEX[k]
+        ox2, oy2 = HEX[(k + 1) % len(HEX)]
+        x1, y1 = cx + rp * F.lit(ox1), cy + rp * F.lit(oy1)
+        x2, y2 = cx + rp * F.lit(ox2), cy + rp * F.lit(oy2)
+        cross = x1 * y2 - x2 * y1
+        edge = F.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+        area = cross if area is None else area + cross
+        perim = edge if perim is None else perim + edge
+    return polys.select(
+        "poly_id",
+        (F.lit(0.5) * F.abs(area)).alias("area"),
+        perim.alias("perimeter"),
+    )
+
+
+def polygon_metrics_sql() -> str:
+    """The identical projection as SQL text (DuckDB oracle), on columns
+    poly_id, cx, cy, rp — term order and association mirror the Column
+    build exactly."""
+    crosses, edges = [], []
+    for k in range(len(HEX)):
+        ox1, oy1 = HEX[k]
+        ox2, oy2 = HEX[(k + 1) % len(HEX)]
+        x1 = f"(cx + rp * {ox1!r})"
+        y1 = f"(cy + rp * {oy1!r})"
+        x2 = f"(cx + rp * {ox2!r})"
+        y2 = f"(cy + rp * {oy2!r})"
+        crosses.append(f"({x1} * {y2} - {x2} * {y1})")
+        edges.append(
+            f"sqrt(({x2} - {x1}) * ({x2} - {x1}) + ({y2} - {y1}) * ({y2} - {y1}))"
+        )
+    return (
+        f"SELECT poly_id, 0.5 * abs({' + '.join(crosses)}) AS area, "
+        f"{' + '.join(edges)} AS perimeter"
+    )
+
+
 def inside_sql(px: str, py: str) -> str:
     """The identical predicate as SQL text (DuckDB oracle), on columns
     cx, cy, rp."""

@@ -2068,6 +2068,25 @@ def ball_radii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _polygon_metrics_oracle() -> str:
+    from parallelcovertree_spark.operators.polygon import polygon_metrics_sql
+
+    return f"WITH {_POLYS_CTE}\n{polygon_metrics_sql()} FROM polys"
+
+
+@_register("polygon_metrics", None)  # oracle assembled below
+def polygon_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shoelace area + perimeter per polygon — the vector-geometry
+    measurement pass next to PIP and tile cover; one fixed IEEE expression
+    tree per value (sqrt is correctly-rounded, parity-safe), no shuffle."""
+    from parallelcovertree_spark.operators.polygon import polygon_metrics
+
+    return polygon_metrics(_polys(spark, sf_dir))
+
+
+_ORACLES["polygon_metrics"] = _polygon_metrics_oracle()
+
+
 # --- product analytics: conversion funnel + retention cohorts -----------------
 
 

@@ -128,3 +128,21 @@ def test_retention_cohorts_offsets(spark):
     cohorts = {r.cohort_day for r in rows}
     zero = {r.cohort_day for r in rows if r.day_offset == 0}
     assert cohorts == zero
+
+
+def test_polygon_metrics_against_closed_forms(spark):
+    """Regular hexagon with circumradius r: area = (3√3/2)·r², perimeter =
+    6r — the shoelace/edge sums must match the closed forms to float
+    tolerance (the gate pins cross-engine bit-parity; this pins geometry)."""
+    import math
+
+    from parallelcovertree_spark.registry import polygon_metrics_q
+
+    rows = polygon_metrics_q(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 8
+    for r in rows:
+        rp = 1.0 + (r.poly_id % 4) * 0.5
+        # HEX literals round 0.8660254… to 0.866025, so closed forms match
+        # to ~1e-6 relative, not machine precision
+        assert math.isclose(r.area, 1.5 * math.sqrt(3) * rp * rp, rel_tol=2e-6)
+        assert math.isclose(r.perimeter, 6.0 * rp, rel_tol=2e-6)

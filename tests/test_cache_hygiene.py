@@ -71,3 +71,36 @@ def test_knn_and_tree_knn_release_caches(spark):
         sweep()
     after = _settle(spark, baseline)
     assert after <= baseline, f"cached RDDs grew: {baseline} -> {after}"
+
+
+def test_highdim_and_pagerank_release_caches(spark):
+    """The late-round localCheckpoint users (hub kNN/ε routing, pagerank
+    graph structure) must leave no cached blocks once results are dropped."""
+    import numpy as np
+
+    from parallelcovertree_spark.operators.graph import pagerank
+    from parallelcovertree_spark.operators.knn_highdim import (
+        hub_epsilon_highdim,
+        hub_knn_highdim,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = spark.createDataFrame(
+        [(i, rng.normal(size=8).astype(float).tolist()) for i in range(120)],
+        "vec_id long, embedding array<float>",
+    )
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 60) for i in range(60)], "src long, dst long"
+    )
+
+    def sweep():
+        hub_knn_highdim(vecs, k=3, n_hubs=4).count()
+        hub_epsilon_highdim(vecs, radius_q=30000, n_hubs=4).count()
+        pagerank(edges, n_iter=3).count()
+
+    sweep()
+    baseline = _settle(spark, 0)
+    for _ in range(2):
+        sweep()
+    after = _settle(spark, baseline)
+    assert after <= baseline, f"cached RDDs grew: {baseline} -> {after}"

@@ -2439,6 +2439,71 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaning.paragraph_dedup(framed, max_df=_PARA_MAX_DF)
 
 
+@_register(
+    "web_clean_manifest",
+    f"""WITH pages AS (
+  SELECT doc_id, lang, {_URL_ENRICH_SQL} AS url, {_FRAME_SQL} AS t
+  FROM documents
+),
+lines AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+          FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM pages)),
+ldf AS (SELECT line, COUNT(DISTINCT doc_id) AS line_docs FROM lines GROUP BY line),
+kept AS (SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS body
+         FROM lines l JOIN ldf USING (line)
+         WHERE ldf.line_docs <= {_PARA_MAX_DF} GROUP BY l.doc_id),
+scrubbed AS (
+  SELECT p.doc_id, p.lang, p.url,
+         regexp_replace(regexp_replace(COALESCE(k.body, ''),
+             '{cleaning.EMAIL_RE}', '{cleaning.EMAIL_TAG}', 'g'),
+             '{cleaning.PHONE_RE}', '{cleaning.PHONE_TAG}', 'g') AS clean
+  FROM pages p LEFT JOIN kept k USING (doc_id)
+)
+SELECT s.doc_id, u.host,
+       CAST({{tok}} AS BIGINT) AS n_tokens,
+       sha256(s.clean) AS text_sha
+FROM scrubbed s
+JOIN ({cleaning.url_normalize_oracle_sql("url")} FROM scrubbed) u
+  ON u.doc_id = s.doc_id
+WHERE s.lang IN ('en', 'de') AND {{tok}} >= 20""".replace(
+        "{tok}", TOKEN_COUNT_SQL.format(t="s.clean")
+    ),
+)
+def web_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-cleaning capstone: planted messy URLs + boilerplate-framed
+    text pushed through the COMPOSED new-family operators — paragraph_dedup
+    (line-df boilerplate removal) → pii_scrub (mask emails/phones) →
+    url_normalize (canonical host) → language ∧ min-token-count filter —
+    emitting the manifest a downstream tokenizer reads: (doc_id, host,
+    n_tokens, sha256 of the final text). One definition per stage (the
+    operators compose as DataFrames); the oracle nests their oracle SQL the
+    same way."""
+    framed = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.expr(_URL_ENRICH_SQL).alias("url"),
+        F.expr(_FRAME_SQL).alias("text"),
+    )
+    deduped = cleaning.paragraph_dedup(framed, max_df=_PARA_MAX_DF).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+    scrubbed = (
+        cleaning.pii_scrub(deduped)
+        .select("doc_id", F.col("text_clean").alias("clean"))
+        .join(framed.select("doc_id", "lang", "url"), "doc_id")
+    )
+    hosts = cleaning.url_normalize(scrubbed).select("doc_id", "host")
+    n_tok = F.expr(TOKEN_COUNT_SQL.format(t="clean"))
+    return (
+        scrubbed.join(hosts, "doc_id")
+        .where(F.col("lang").isin("en", "de") & (n_tok >= 20))
+        .select(
+            "doc_id", "host",
+            n_tok.cast("bigint").alias("n_tokens"),
+            F.sha2(F.col("clean"), 256).alias("text_sha"),
+        )
+    )
+
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

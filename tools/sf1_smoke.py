@@ -98,6 +98,12 @@ DUP_DENSITY_QUADRATIC = {
     "minhash_dup_pairs", "minhash_dup_pairs_engine", "simhash_dup_pairs",
     "ngram_jaccard_dups", "dedup_clusters", "clean_corpus", "training_manifest",
     "embedding_neardup",
+    # not quadratic but emptied: 10x verbatim replication gives every BODY
+    # line df >= 10 > max_df, so paragraph dedup drops all content and the
+    # manifest filter leaves 0 rows on both engines — a vacuous (if green)
+    # parity check; the pipeline's sf1 behavior is covered by its stages'
+    # own sf1 gates (paragraph_dedup, pii_scrub, url_normalize)
+    "web_clean_manifest",
 }
 
 

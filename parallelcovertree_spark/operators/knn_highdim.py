@@ -273,6 +273,144 @@ def hub_knn_highdim(
     )
 
 
+def hub_knn_highdim_queries(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_hubs: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 4096,
+) -> DataFrame:
+    """(src, nbr_rank, dst) — exact L2 top-k of each QUERY vector over a
+    separate corpus: the retrieval primitive (embed a query set, fetch
+    nearest corpus docs). Same hub structure and bounds as
+    :func:`hub_knn_highdim`, no self-exclusion (a query identical to a
+    corpus vector ranks it first at d=0, like the 2-D two-table op's
+    default). Queries route to their nearest hub for the local pass, then
+    to every hub the triangle bound cannot exclude."""
+    spark = corpus.sparkSession
+    c = corpus.select(F.col(id_col).alias("src"), quantize(vec_col).alias("qv"))
+    qr = queries.select(F.col(id_col).alias("src"), quantize(vec_col).alias("qv"))
+
+    sample = (
+        c.where(F.pmod(F.xxhash64("src"), F.lit(8)) == 0)
+        .limit(sample_cap)
+        .collect()
+    )
+    if len(sample) < n_hubs:
+        sample = c.limit(sample_cap).collect()
+    SX = np.asarray([row.qv for row in sample], dtype=np.float64)
+    hub_mat = SX[_fps(SX, n_hubs)]
+    n_hubs_eff = len(hub_mat)
+    sc = spark.sparkContext
+    b_hubs = sc.broadcast(hub_mat)
+
+    def assign(batches):
+        H = b_hubs.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["qv"].tolist(), dtype=np.float64)
+            d2 = _pairwise_d2(X, H)
+            h = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "src": pdf["src"].to_numpy(),
+                    "qv": pdf["qv"],
+                    "hub": h.astype(np.int32),
+                    "d2h": d2[np.arange(len(h)), h],
+                }
+            )
+
+    schema = "src bigint, qv array<bigint>, hub int, d2h double"
+    members = c.mapInPandas(assign, schema).repartition("hub").localCheckpoint()
+    routed_q = qr.mapInPandas(assign, schema).localCheckpoint()
+
+    radii = {
+        row.hub: float(row.R2)
+        for row in members.groupBy("hub").agg(F.max("d2h").alias("R2")).collect()
+    }
+    b_radii = sc.broadcast(
+        np.array([radii.get(h, 0.0) for h in range(n_hubs_eff)])
+    )
+
+    def topk_vs_members(members_pdf: pd.DataFrame, visitors_pdf: pd.DataFrame):
+        if not len(members_pdf) or not len(visitors_pdf):
+            return pd.DataFrame(
+                {"src": pd.Series(dtype=np.int64),
+                 "dst": pd.Series(dtype=np.int64),
+                 "d2": pd.Series(dtype=np.float64)}
+            )
+        M = np.asarray(members_pdf["qv"].tolist(), dtype=np.float64)
+        mids = members_pdf["src"].to_numpy()
+        V = np.asarray(visitors_pdf["qv"].tolist(), dtype=np.float64)
+        vids = visitors_pdf["src"].to_numpy()
+        out = []
+        for lo in range(0, len(V), _BLOCK):
+            d2 = _pairwise_d2(V[lo : lo + _BLOCK], M)
+            rows, dst, dd = _topk_rows(d2, mids, k)
+            out.append(
+                pd.DataFrame({"src": vids[lo + rows], "dst": dst, "d2": dd})
+            )
+        return pd.concat(out, ignore_index=True)
+
+    # local pass: each query against its home hub's members
+    local = (
+        members.groupby("hub")
+        .cogroup(routed_q.groupby("hub"))
+        .applyInPandas(topk_vs_members, "src bigint, dst bigint, d2 double")
+        .localCheckpoint()
+    )
+    # bound: the query's current k-th distance — unbounded (NaN) when the
+    # home hub held fewer than k members, and for queries absent from
+    # `local` entirely (empty home hub): the left join keeps them with NULL
+    kth = local.groupBy("src").agg(
+        F.max("d2").alias("dmax"), F.count(F.lit(1)).alias("n_found")
+    ).select(
+        "src",
+        F.when(F.col("n_found") >= k, F.col("dmax")).alias("d2k"),
+    )
+    routed = routed_q.join(kth, "src", "left")
+
+    def visits(batches):
+        H = b_hubs.value
+        R = np.sqrt(b_radii.value)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["qv"].tolist(), dtype=np.float64)
+            dh = np.sqrt(np.maximum(_pairwise_d2(X, H), 0.0))
+            dk = np.sqrt(pdf["d2k"].to_numpy(dtype=np.float64))
+            need = (dh - R[None, :]) <= (dk[:, None] + _SLACK)
+            need |= np.isnan(dk)[:, None]
+            need[np.arange(len(X)), pdf["hub"].to_numpy()] = False
+            rows, hubs = np.nonzero(need)
+            yield pd.DataFrame(
+                {
+                    "hub": hubs.astype(np.int32),
+                    "src": pdf["src"].to_numpy()[rows],
+                    "qv": pdf["qv"].iloc[rows].to_numpy(),
+                }
+            )
+
+    visit_df = routed.mapInPandas(visits, "hub int, src bigint, qv array<bigint>")
+    foreign = (
+        members.select("hub", "src", "qv")
+        .groupby("hub")
+        .cogroup(visit_df.groupby("hub"))
+        .applyInPandas(topk_vs_members, "src bigint, dst bigint, d2 double")
+    )
+
+    cand = local.select("src", "dst", "d2").unionByName(foreign)
+    w = Window.partitionBy("src").orderBy(F.col("d2").asc(), F.col("dst").asc())
+    return (
+        cand.withColumn("nbr_rank", F.row_number().over(w))
+        .where(F.col("nbr_rank") <= k)
+        .select("src", "nbr_rank", "dst")
+    )
+
+
 def hub_epsilon_highdim(
     emb: DataFrame,
     radius_q: int,
@@ -416,4 +554,4 @@ def hub_epsilon_highdim(
     return local.unionByName(foreign)
 
 
-__all__ = ["hub_epsilon_highdim", "hub_knn_highdim"]
+__all__ = ["hub_epsilon_highdim", "hub_knn_highdim", "hub_knn_highdim_queries"]

@@ -2303,6 +2303,34 @@ def knn_highdim_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "knn_highdim_queries",
+    f"""{_Q_CTE},
+d AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, SUM((a.e - b.e) * (a.e - b.e)) AS d2
+  FROM flat a JOIN flat b USING (i) WHERE a.vec_id % 5 = 0
+  GROUP BY 1, 2
+),
+r AS (SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, dst) AS rk
+      FROM d)
+SELECT src, rk AS nbr_rank, dst FROM r WHERE rk <= 10""",
+)
+def knn_highdim_queries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table retrieval form: every 5th embedding as the query set
+    against the full corpus, exact L2 top-10 via hub routing — no
+    self-exclusion, so a query finds its own corpus twin at rank 1
+    (d=0), which the by-definition oracle replays."""
+    from parallelcovertree_spark.operators.knn_highdim import (
+        hub_knn_highdim_queries,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hub_knn_highdim_queries(
+        emb, emb.where(F.col("vec_id") % 5 == 0), k=10, n_hubs=16
+    )
+
+
 _EPS_HD_RQ = 12_000  # quantized-domain radius (1.2 raw): ~1% of pair distances
 
 

@@ -147,3 +147,45 @@ def test_pruning_skips_far_hubs(spark):
     # every neighbor stays inside the source's cluster
     for r in out.collect():
         assert r.src // 40 == r.dst // 40
+
+
+def _brute_2t(corpus_rows, query_rows, k: int) -> set[tuple[int, int, int]]:
+    cids = np.array([r[0] for r in corpus_rows])
+    C = np.round(np.array([r[1] for r in corpus_rows], dtype=np.float64) * 10_000)
+    out = set()
+    for qid, v in query_rows:
+        Q = np.round(np.array(v, dtype=np.float64) * 10_000)
+        d2 = _pairwise_d2(Q[None, :], C)[0]
+        order = np.lexsort((cids, d2))[: min(k, len(cids))]
+        for rk, j in enumerate(order, start=1):
+            out.add((int(qid), rk, int(cids[j])))
+    return out
+
+
+def test_two_table_matches_brute_force(spark):
+    from parallelcovertree_spark.operators.knn_highdim import hub_knn_highdim_queries
+
+    corpus = _mk_vecs(240, seed=31)
+    queries = [(1000 + i, v) for i, v in _mk_vecs(37, seed=32)]
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(queries, "vec_id long, embedding array<float>")
+    got = {
+        (r.src, r.nbr_rank, r.dst)
+        for r in hub_knn_highdim_queries(cdf, qdf, k=6, n_hubs=5).collect()
+    }
+    assert got == _brute_2t(corpus, queries, k=6)
+
+
+def test_two_table_query_in_corpus_ranks_itself_first(spark):
+    from parallelcovertree_spark.operators.knn_highdim import hub_knn_highdim_queries
+
+    corpus = _mk_vecs(80, seed=41)
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    qdf = cdf.where("vec_id % 9 = 0")
+    rows = hub_knn_highdim_queries(cdf, qdf, k=3, n_hubs=4).collect()
+    firsts = {r.src: r.dst for r in rows if r.nbr_rank == 1}
+    assert firsts and all(src == dst for src, dst in firsts.items())
+    # and exactness vs brute force on the subset
+    queries = [(i, v) for i, v in corpus if i % 9 == 0]
+    got = {(r.src, r.nbr_rank, r.dst) for r in rows}
+    assert got == _brute_2t(corpus, queries, k=3)

@@ -74,7 +74,7 @@ QUADRATIC_ORACLES = {
     "ann_cosine_topk",
     # exact high-dim kNN: the SPARK side is the scalable hub-routed plan,
     # but the oracle is the by-definition O(n²·dim) flat self-join
-    "knn_highdim_embeddings", "epsilon_highdim_embeddings",
+    "knn_highdim_embeddings", "knn_highdim_queries", "epsilon_highdim_embeddings",
     # candidate volume is (nprobe/n_centroids)·n² — a constant fraction of
     # all-pairs; the oracle's flat join is that × dim rows (measured: 47%
     # of RAM and climbing at 20k vectors before being stopped)

@@ -2123,30 +2123,32 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-aggregates + user-keyed joins — the sequence-analytics pass next to
     sessionize and last-click attribution. Epoch micros via the shared
     tz-free NTZ expression; missing steps encoded -1."""
+    # ONE scan + ONE user-keyed shuffle: three chained window minima over
+    # the same partition spec (each step's strictly-after condition reads
+    # the previous step's group-constant column; NULL short-circuits
+    # missing steps). The progressive-join form costs 3 scans + 3 shuffles
+    # of the events table — this shape is what you want at 10^12 events.
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id", "event_type",
         F.expr(NTZ_EPOCH_US.format(ts="ts")).cast("long").alias("us"),
     )
-    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("us").alias("v_us")
-    )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("us") > F.col("v_us"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("c_us"))
-    )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("us") > F.col("c_us"))
-        .groupBy("user_id")
-        .agg(F.min("us").alias("p_us"))
+    w = Window.partitionBy("user_id")
+    t, us = F.col("event_type"), F.col("us")
+    d = (
+        ev.withColumn("v_us", F.min(F.when(t == "view", us)).over(w))
+        .withColumn(
+            "c_us",
+            F.min(F.when((t == "click") & (us > F.col("v_us")), us)).over(w),
+        )
+        .withColumn(
+            "p_us",
+            F.min(F.when((t == "purchase") & (us > F.col("c_us")), us)).over(w),
+        )
     )
     return (
-        v.join(c, "user_id", "left")
-        .join(p, "user_id", "left")
+        d.where(F.col("v_us").isNotNull())
+        .select("user_id", "v_us", "c_us", "p_us")
+        .distinct()
         .select(
             "user_id", "v_us",
             F.coalesce("c_us", F.lit(-1).cast("long")).alias("c_us"),

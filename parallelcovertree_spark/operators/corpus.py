@@ -30,6 +30,7 @@ __all__ = [
     "doc_term_freq",
     "term_doc_freq",
     "tfidf_top_terms",
+    "bm25_top_terms",
     "corpus_bigrams",
     "repetition_stats",
     "contamination_check",
@@ -129,6 +130,56 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "doc_freq", "rank")
+    )
+
+
+def bm25_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, term, tf, doc_freq, dl, rank): top-k BM25 terms per document.
+
+    BM25 with a *rational* idf — (N − df + 0.5)/(df + 0.5), the Robertson-
+    Spärck-Jones odds WITHOUT the log. The log is monotone per term so
+    per-term score ORDER is unchanged; dropping it keeps every arithmetic
+    op an IEEE-exact expression over exact integers (counts, doc lengths),
+    which is what makes the DuckDB oracle bit-identical — ln() is not
+    correctly rounded across libms. Length normalization is the standard
+    tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+
+    Same shuffle discipline as tfidf_top_terms: tf and df derive from one
+    token pass; tf⋈df shuffles on the term key (vocabulary never assumed
+    broadcastable at web scale); doc lengths ride the same tf lineage via a
+    doc-keyed re-aggregation, and avgdl is one broadcast scalar row."""
+    tf = doc_term_freq(docs, text_col, id_col)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    gstats = dl.agg(
+        F.sum("dl").alias("sum_dl"), F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tf.join(df, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(gstats))
+    )
+    # fixed expression tree over exact ints — mirrored in the oracle SQL
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = (
+        (F.col("n_docs") - F.col("doc_freq")).cast("double") + F.lit(0.5)
+    ) / (F.col("doc_freq").cast("double") + F.lit(0.5))
+    tfd = F.col("tf").cast("double")
+    norm = tfd * F.lit(k1 + 1.0) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / avgdl))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc(idf * norm), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "dl", "rank")
     )
 
 

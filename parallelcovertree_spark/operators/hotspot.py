@@ -1,0 +1,168 @@
+"""Spatial hotspot detection (Getis-Ord Gi* analog) over the tile grid.
+
+The classic "where are documents clustering" analytic a geospatial engine
+runs after tiling: per-cell counts, 1-ring (3×3 H3 k-ring analog)
+neighborhood sums, and a z-score of each cell's neighborhood against the
+global per-cell distribution. Cells whose ring total sits far above the
+global mean are hot spots (Getis & Ord 1992, the Gi* statistic, simplified
+to unit weights over the existing 1-ring).
+
+Scale shape (the part that matters at 10^12 docs): the only point-volume
+shuffle is the first per-cell count — everything after operates on the
+cell histogram, whose size is bounded by the number of occupied tiles, not
+by document count. Ring sums are an explode(9)+reshuffle of that small
+table; global moments are a single broadcast scalar row.
+
+Cross-engine parity: counts, ring sums and ring cell-cardinalities are
+exact BIGINTs; the z-score is a fixed expression tree over those integers
+(two IEEE divisions, one correctly-rounded sqrt), mirrored token-for-token
+in the DuckDB oracle, so doubles are bit-identical.
+
+Reference parity note: the reference has no hotspot statistic; this is part
+of the north rule's tiling/analytics surface (BASELINE.json north_rule —
+H3/S2 index analytics over geotagged web pages). The k-ring enumeration
+reuses functions/cells.py (the same ring the ε-join prunes with,
+/root/reference/src/CoverTree.cpp:367 triangle-inequality analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parallelcovertree_spark.functions.cells import (
+    _OFF,
+    _SHIFT,
+    cell_id_from_ix,
+    cell_ix,
+    k_ring_offsets,
+)
+
+__all__ = ["cell_hotspots", "cell_hotspots_oracle_sql"]
+
+
+def cell_hotspots(
+    pts: DataFrame,
+    res: float,
+    x: str = "x",
+    y: str = "y",
+    k: int = 1,
+) -> DataFrame:
+    """(cell_id, n, ring_n, ring_cells, gi_z) per occupied cell.
+
+    ``n``          documents in the cell,
+    ``ring_n``     documents in the (2k+1)² ring (self included) counting
+                   only OCCUPIED cells — empty tiles contribute nothing,
+    ``ring_cells`` how many of those ring tiles are occupied (edge cells of
+                   the data extent naturally get smaller rings),
+    ``gi_z``       (ring_n − ring_cells·μ) / sqrt(ring_cells·σ²) with μ, σ²
+                   the global per-occupied-cell count moments — the
+                   unit-weight Gi* z-score.
+
+    Plan: one point-volume shuffle (cell count), then cell-cardinality work
+    only: explode each cell into its ring targets (no shuffle, 9× a small
+    table), re-aggregate on the target key, inner-join back onto the
+    histogram, and broadcast the single global-moments row.
+    """
+    # The histogram feeds THREE consumers (join probe, ring contributions,
+    # global moments). Without materialization Catalyst re-plans the
+    # point-volume scan+aggregate once per consumer — at 10^12 docs that
+    # triples the only expensive stage. localCheckpoint (same discipline as
+    # plans/query.py:184) pins the cell-cardinality result once; everything
+    # downstream is histogram-sized.
+    hist = (
+        pts.groupBy(
+            cell_ix(x, res).alias("ix"), cell_ix(y, res).alias("iy")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    # Ring contributions: every occupied cell donates its count to each of
+    # its (2k+1)² ring targets. Explode is pure Catalyst; the groupBy below
+    # is a shuffle of |cells|·(2k+1)² rows — histogram-sized, never
+    # point-sized.
+    offs = F.array(
+        *[
+            F.struct(
+                (F.col("ix") + F.lit(dx)).alias("tix"),
+                (F.col("iy") + F.lit(dy)).alias("tiy"),
+            )
+            for dx, dy in k_ring_offsets(k)
+        ]
+    )
+    ring = (
+        hist.select(F.explode(offs).alias("t"), "n")
+        .select("t.tix", "t.tiy", "n")
+        .groupBy("tix", "tiy")
+        .agg(
+            F.sum("n").alias("ring_n"),
+            F.count(F.lit(1)).alias("ring_cells"),
+        )
+    )
+    # Global per-cell moments — one scalar row, broadcast by construction.
+    stats = hist.agg(
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+        F.count(F.lit(1)).alias("cc"),
+    )
+    joined = hist.join(
+        ring,
+        (hist["ix"] == ring["tix"]) & (hist["iy"] == ring["tiy"]),
+        "inner",
+    ).crossJoin(F.broadcast(stats))
+    # Fixed expression tree over exact integers — mirrored verbatim in the
+    # oracle so every double is bit-identical cross-engine.
+    mean = F.col("sn").cast("double") / F.col("cc").cast("double")
+    var = F.col("snn").cast("double") / F.col("cc").cast("double") - mean * mean
+    rc = F.col("ring_cells").cast("double")
+    gi_z = (F.col("ring_n").cast("double") - rc * mean) / F.sqrt(rc * var)
+    return joined.select(
+        cell_id_from_ix(F.col("ix"), F.col("iy")).alias("cell_id"),
+        "n",
+        "ring_n",
+        "ring_cells",
+        gi_z.alias("gi_z"),
+    )
+
+
+def cell_hotspots_oracle_sql(pts_cte_body: str, res: float, k: int = 1) -> str:
+    """DuckDB twin of :func:`cell_hotspots` over a (id, x, y) CTE body.
+
+    The ring enumeration uses the same (2k+1)² offsets via two unnested
+    ranges; the z-score expression tree matches the Spark column expression
+    token-for-token (casts included).
+    """
+    lo, hi = -k, k + 1
+    return f"""WITH pts AS ({pts_cte_body}),
+h AS (
+  SELECT CAST(FLOOR(x / {res!r}) AS BIGINT) AS ix,
+         CAST(FLOOR(y / {res!r}) AS BIGINT) AS iy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2
+),
+contrib AS (
+  SELECT h.ix + dx.d AS tix, h.iy + dy.d AS tiy, h.n
+  FROM h,
+       (SELECT unnest(range({lo}, {hi})) AS d) dx,
+       (SELECT unnest(range({lo}, {hi})) AS d) dy
+),
+r AS (
+  SELECT tix, tiy, CAST(SUM(n) AS BIGINT) AS ring_n,
+         CAST(COUNT(*) AS BIGINT) AS ring_cells
+  FROM contrib GROUP BY 1, 2
+),
+g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS sn,
+         CAST(SUM(n * n) AS BIGINT) AS snn,
+         CAST(COUNT(*) AS BIGINT) AS cc
+  FROM h
+)
+SELECT (h.ix + {_OFF}) * {_SHIFT} + (h.iy + {_OFF}) AS cell_id,
+       h.n, r.ring_n, r.ring_cells,
+       (CAST(r.ring_n AS DOUBLE) - CAST(r.ring_cells AS DOUBLE)
+          * (CAST(g.sn AS DOUBLE) / CAST(g.cc AS DOUBLE)))
+       / SQRT(CAST(r.ring_cells AS DOUBLE)
+          * (CAST(g.snn AS DOUBLE) / CAST(g.cc AS DOUBLE)
+             - (CAST(g.sn AS DOUBLE) / CAST(g.cc AS DOUBLE))
+               * (CAST(g.sn AS DOUBLE) / CAST(g.cc AS DOUBLE)))) AS gi_z
+FROM h JOIN r ON h.ix = r.tix AND h.iy = r.tiy, g"""

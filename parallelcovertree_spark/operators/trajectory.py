@@ -1,0 +1,123 @@
+"""Per-entity trajectory statistics over a timestamped event stream.
+
+Movement analytics over geotagged events — the "how far did each user
+travel, in how many hops, and how far did they net out from start to end"
+query a geospatial event pipeline answers after tiling. Steps are the
+euclidean hops between a user's consecutive events in (ts, event_id) order.
+
+Scale shape: ONE shuffle — the window partitionBy(user) — computes lag
+coordinates, per-step distances, and first/last positions in a single pass;
+the terminal groupBy(user) reuses the same hash partitioning (Catalyst
+reuses the exchange), so point volume crosses the wire once.
+
+Cross-engine parity: float SUMs are order-dependent, so per-step distances
+are quantized to integer micro-units (floor(d·10⁶) of a correctly-rounded
+sqrt of a fixed double expression) BEFORE summing — BIGINT sums are exact
+and associative, making the totals engine- and partition-count-independent.
+The same discipline the polygon metrics use for IEEE-tree stability.
+
+Reference parity note: the reference is point-set-only (no timestamps);
+this is north-rule surface (BASELINE.json — event analytics over the
+geotagged web corpus). Distances use the same double-precision euclidean
+math as the ε-join kernel (functions/geo.py, ref src/Point.cpp:28-36).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["trajectory_stats", "TRAJECTORY_ORACLE_SQL_TEMPLATE"]
+
+_MICRO = 1_000_000.0
+
+
+def _step_micro(dx: Column, dy: Column) -> Column:
+    """floor(10⁶·sqrt(dx²+dy²)) as BIGINT — one fixed IEEE expression tree
+    (two products, one add, correctly-rounded sqrt, one product, floor), so
+    the quantized step is bit-identical on any engine given equal inputs."""
+    return F.floor(F.sqrt(dx * dx + dy * dy) * F.lit(_MICRO)).cast("long")
+
+
+def trajectory_stats(
+    events: DataFrame,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """(user_id, n_events, n_steps, path_micro, max_step_micro, net_micro).
+
+    ``path_micro``     total path length in micro-units (sum of quantized
+                       consecutive-hop distances),
+    ``max_step_micro`` longest single hop,
+    ``net_micro``      straight-line start→end displacement.
+
+    Entities with one event emit zero steps and zero distances (not NULL) —
+    same COALESCE on the oracle side.
+    """
+    w = Window.partitionBy(id_col).orderBy(F.asc(ts_col), F.asc(seq_col))
+    xs, ys = F.col(x).cast("double"), F.col(y).cast("double")
+    stepped = events.select(
+        id_col,
+        ts_col,
+        seq_col,
+        xs.alias("_x"),
+        ys.alias("_y"),
+        (xs - F.lag(xs).over(w)).alias("_dx"),
+        (ys - F.lag(ys).over(w)).alias("_dy"),
+        F.first(xs).over(w).alias("_fx"),
+        F.first(ys).over(w).alias("_fy"),
+    )
+    step = F.when(
+        F.col("_dx").isNotNull(), _step_micro(F.col("_dx"), F.col("_dy"))
+    )
+    # last event's row carries the full-window first_value → net displacement
+    # is computable per-row; the max_by below picks the last row's value.
+    net = _step_micro(F.col("_x") - F.col("_fx"), F.col("_y") - F.col("_fy"))
+    enriched = stepped.select(
+        id_col,
+        ts_col,
+        seq_col,
+        step.alias("_step"),
+        net.alias("_net"),
+    )
+    # struct max = lexicographic (ts, event_id) max → the last row's value
+    last_key = F.struct(F.col(ts_col), F.col(seq_col))
+    return enriched.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("_step").alias("n_steps"),
+        F.coalesce(F.sum("_step"), F.lit(0).cast("long")).alias("path_micro"),
+        F.coalesce(F.max("_step"), F.lit(0).cast("long")).alias("max_step_micro"),
+        F.max_by("_net", last_key).alias("net_micro"),
+    )
+
+
+# {pts_cte}: CTE body yielding (user_id, ts, event_id, x, y).
+TRAJECTORY_ORACLE_SQL_TEMPLATE = """WITH ev AS ({pts_cte}),
+s AS (
+  SELECT user_id, ts, event_id,
+         x - LAG(x) OVER w AS dx,
+         y - LAG(y) OVER w AS dy,
+         x - FIRST_VALUE(x) OVER w AS nx,
+         y - FIRST_VALUE(y) OVER w AS ny,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+q AS (
+  SELECT user_id, rk,
+         CASE WHEN dx IS NULL THEN NULL
+              ELSE CAST(FLOOR(SQRT(dx * dx + dy * dy) * 1000000.0) AS BIGINT)
+         END AS step,
+         CAST(FLOOR(SQRT(nx * nx + ny * ny) * 1000000.0) AS BIGINT) AS net
+  FROM s
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(step) AS BIGINT) AS n_steps,
+       CAST(COALESCE(SUM(step), 0) AS BIGINT) AS path_micro,
+       CAST(COALESCE(MAX(step), 0) AS BIGINT) AS max_step_micro,
+       CAST(MAX(CASE WHEN rk = 1 THEN net END) AS BIGINT) AS net_micro
+FROM q GROUP BY user_id"""

@@ -2534,6 +2534,93 @@ def web_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# --- spatial hotspots / trajectories / BM25 (round-4 continuation) ----------
+
+from parallelcovertree_spark.operators.hotspot import (  # noqa: E402
+    cell_hotspots,
+    cell_hotspots_oracle_sql,
+)
+from parallelcovertree_spark.operators.trajectory import (  # noqa: E402
+    TRAJECTORY_ORACLE_SQL_TEMPLATE,
+    trajectory_stats,
+)
+
+
+@_register(
+    "hotspot_cells",
+    cell_hotspots_oracle_sql(geo.points_cte("doc_id", "documents"), TILE_RES),
+)
+def hotspot_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* analog per tile: per-cell counts, 1-ring neighborhood
+    sums, z-score vs the global per-cell distribution. Post-histogram work
+    is cell-cardinality only — the spatial-autocorrelation analytic of the
+    north rule's tiling surface."""
+    return cell_hotspots(_doc_points(spark, sf_dir), TILE_RES)
+
+
+_EV_PTS_CTE = (
+    "SELECT user_id, ts, event_id, "
+    f"{geo.X_SQL.format(id='event_id')} AS x, "
+    f"{geo.Y_SQL.format(id='event_id')} AS y FROM events"
+)
+
+
+@_register(
+    "trajectory_stats",
+    TRAJECTORY_ORACLE_SQL_TEMPLATE.format(pts_cte=_EV_PTS_CTE),
+)
+def trajectory_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user movement analytics over geotagged events: hop count, total
+    path length, longest hop, net start→end displacement — one window pass
+    + one reused-exchange groupBy; distances quantized to exact BIGINT
+    micro-units so distributed sums are associative and engine-portable."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "ts",
+        "event_id",
+        geo.x_col("event_id").alias("x"),
+        geo.y_col("event_id").alias("y"),
+    )
+    return trajectory_stats(ev)
+
+
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@_register(
+    "bm25_top_terms",
+    f"""{_TOK_CTE},
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+g AS (SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl, CAST(COUNT(*) AS BIGINT) AS n_docs FROM dl),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq, dl.dl,
+         ((CAST(g.n_docs - df.doc_freq AS DOUBLE) + 0.5)
+            / (CAST(df.doc_freq AS DOUBLE) + 0.5))
+         * (CAST(tf.tf AS DOUBLE) * {_BM25_K1 + 1.0!r}
+            / (CAST(tf.tf AS DOUBLE) + {_BM25_K1!r}
+               * ({1.0 - _BM25_B!r} + {_BM25_B!r}
+                  * (CAST(dl.dl AS DOUBLE)
+                     / (CAST(g.sum_dl AS DOUBLE) / CAST(g.n_docs AS DOUBLE)))))) AS score
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), g
+),
+r AS (
+  SELECT doc_id, term, tf, doc_freq, dl,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM s
+)
+SELECT doc_id, term, tf, doc_freq, dl, rank FROM r WHERE rank <= 3
+""",
+)
+def bm25_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 BM25 terms per document (rational idf — log dropped as monotone
+    per term, keeping every double an exact-int expression; k1=1.2, b=0.75).
+    One token pass feeds tf, df and dl; avgdl is a broadcast scalar."""
+    from parallelcovertree_spark.operators.corpus import bm25_top_terms
+
+    return bm25_top_terms(_docs(spark, sf_dir), k=3, k1=_BM25_K1, b=_BM25_B)
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

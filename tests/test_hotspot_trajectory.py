@@ -1,0 +1,180 @@
+"""Closed-form pins for the hotspot Gi*, trajectory, and BM25 operators —
+the semantics the DuckDB gate can't see (edge rings, single-event users,
+rank monotonicity) verified against hand-computed / numpy oracles."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from parallelcovertree_spark.functions.cells import _OFF, _SHIFT
+from parallelcovertree_spark.operators.corpus import bm25_top_terms
+from parallelcovertree_spark.operators.hotspot import cell_hotspots
+from parallelcovertree_spark.operators.trajectory import trajectory_stats
+
+
+def _cell(ix: int, iy: int) -> int:
+    return (ix + _OFF) * _SHIFT + (iy + _OFF)
+
+
+# --- hotspots -----------------------------------------------------------
+
+
+def test_hotspot_counts_rings_and_z(spark):
+    # 2×2 occupied grid (res=1): counts 1,2,3,10 at (0,0),(1,0),(0,1),(1,1).
+    # Every cell's 1-ring covers all four occupied cells → ring_n=16,
+    # ring_cells=4 everywhere; z identical for all cells.
+    counts = {(0, 0): 1, (1, 0): 2, (0, 1): 3, (1, 1): 10}
+    rows = [
+        (float(ix) + 0.5, float(iy) + 0.5)
+        for (ix, iy), n in counts.items()
+        for _ in range(n)
+    ]
+    pts = spark.createDataFrame(rows, "x double, y double")
+    out = {
+        r["cell_id"]: r
+        for r in cell_hotspots(pts, 1.0).collect()
+    }
+    assert set(out) == {_cell(ix, iy) for ix, iy in counts}
+    ns = np.array(list(counts.values()), dtype=float)
+    mean, var = ns.mean(), (ns**2).mean() - ns.mean() ** 2
+    for (ix, iy), n in counts.items():
+        r = out[_cell(ix, iy)]
+        assert r["n"] == n
+        assert r["ring_n"] == 16
+        assert r["ring_cells"] == 4
+        z = (16 - 4 * mean) / math.sqrt(4 * var)
+        assert r["gi_z"] == pytest.approx(z, rel=1e-12)
+
+
+def test_hotspot_isolated_cell_ring_is_itself(spark):
+    # far-apart cells: each ring contains only the cell itself
+    pts = spark.createDataFrame(
+        [(0.5, 0.5), (0.5, 0.5), (100.5, 100.5)], "x double, y double"
+    )
+    out = {r["cell_id"]: r for r in cell_hotspots(pts, 1.0).collect()}
+    a, b = out[_cell(0, 0)], out[_cell(100, 100)]
+    assert (a["n"], a["ring_n"], a["ring_cells"]) == (2, 2, 1)
+    assert (b["n"], b["ring_n"], b["ring_cells"]) == (1, 1, 1)
+    # z sign: count-2 cell above the mean(1.5), count-1 below
+    assert a["gi_z"] > 0 > b["gi_z"]
+
+
+def test_hotspot_partition_invariance(spark):
+    rng = np.random.default_rng(7)
+    xs, ys = rng.uniform(-5, 5, 500), rng.uniform(-5, 5, 500)
+    rows = [(float(a), float(b)) for a, b in zip(xs, ys)]
+    df1 = spark.createDataFrame(rows, "x double, y double").coalesce(1)
+    df8 = spark.createDataFrame(rows, "x double, y double").repartition(8)
+    r1 = sorted(map(tuple, cell_hotspots(df1, 2.0).collect()))
+    r8 = sorted(map(tuple, cell_hotspots(df8, 2.0).collect()))
+    assert r1 == r8  # exact — integer sums + fixed-tree doubles
+
+
+# --- trajectories --------------------------------------------------------
+
+
+def test_trajectory_hand_computed(spark):
+    from datetime import datetime
+
+    t = datetime(2026, 1, 1)
+
+    def ts(s):
+        return t.replace(second=s)
+
+    rows = [
+        # user 1: (0,0) -> (3,4) -> (3,0): steps 5, 4; net 3
+        (1, ts(1), 10, 0.0, 0.0),
+        (1, ts(2), 11, 3.0, 4.0),
+        (1, ts(3), 12, 3.0, 0.0),
+        # user 2: single event — zero steps/distances
+        (2, ts(1), 20, 7.0, 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, x double, y double"
+    )
+    out = {r["user_id"]: r for r in trajectory_stats(ev).collect()}
+    u1, u2 = out[1], out[2]
+    assert (u1["n_events"], u1["n_steps"]) == (3, 2)
+    assert u1["path_micro"] == 9_000_000
+    assert u1["max_step_micro"] == 5_000_000
+    assert u1["net_micro"] == 3_000_000
+    assert (u2["n_events"], u2["n_steps"]) == (1, 0)
+    assert (u2["path_micro"], u2["max_step_micro"], u2["net_micro"]) == (0, 0, 0)
+
+
+def test_trajectory_order_is_ts_then_event_id(spark):
+    from datetime import datetime
+
+    t = datetime(2026, 1, 1)
+    # identical ts → event_id breaks the tie; path = 1 + 1 = 2 in id order,
+    # whereas input order would give a different (longer) path
+    rows = [
+        (1, t, 3, 2.0, 0.0),
+        (1, t, 1, 0.0, 0.0),
+        (1, t, 2, 1.0, 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, x double, y double"
+    )
+    r = trajectory_stats(ev).collect()[0]
+    assert r["path_micro"] == 2_000_000
+    assert r["net_micro"] == 2_000_000
+
+
+# --- BM25 ----------------------------------------------------------------
+
+
+def _bm25_numpy(docs, k1=1.2, b=0.75):
+    """Reference scores via plain python/numpy."""
+    tf = {}
+    for i, text in docs:
+        for tok in text.split(" "):
+            if tok:
+                tf[(i, tok)] = tf.get((i, tok), 0) + 1
+    df = {}
+    for (_, tok), _n in tf.items():
+        df[tok] = df.get(tok, 0) + 1
+    dl = {}
+    for (i, _), n in tf.items():
+        dl[i] = dl.get(i, 0) + n
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    out = {}
+    for (i, tok), n in tf.items():
+        idf = (n_docs - df[tok] + 0.5) / (df[tok] + 0.5)
+        norm = n * (k1 + 1.0) / (n + k1 * (1.0 - b + b * (dl[i] / avgdl)))
+        out[(i, tok)] = idf * norm
+    return out
+
+
+def test_bm25_ranks_match_numpy(spark):
+    docs = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana banana durian"),
+        (3, "apple cherry cherry cherry elderberry elderberry"),
+    ]
+    scores = _bm25_numpy(docs)
+    want = {}
+    for i in {d[0] for d in docs}:
+        terms = sorted(
+            ((t, s) for (j, t), s in scores.items() if j == i),
+            key=lambda p: (-p[1], p[0]),
+        )
+        want[i] = [t for t, _ in terms[:3]]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in bm25_top_terms(df, k=3).collect():
+        got.setdefault(r["doc_id"], {})[r["rank"]] = r["term"]
+    for i, terms in want.items():
+        assert [got[i][k] for k in sorted(got[i])] == terms
+
+
+def test_bm25_rare_term_outranks_common_at_equal_tf(spark):
+    # same tf, same doc → rarer term must score higher
+    docs = [(1, "rare common"), (2, "common"), (3, "common")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["term"]: r["rank"] for r in bm25_top_terms(df, k=3).collect() if r["doc_id"] == 1}
+    assert rows["rare"] < rows["common"]

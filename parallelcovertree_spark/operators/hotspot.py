@@ -38,7 +38,12 @@ from parallelcovertree_spark.functions.cells import (
     k_ring_offsets,
 )
 
-__all__ = ["cell_hotspots", "cell_hotspots_oracle_sql"]
+__all__ = [
+    "cell_hotspots",
+    "cell_hotspots_oracle_sql",
+    "nn_distance_stats",
+    "nn_distance_oracle_sql",
+]
 
 
 def cell_hotspots(
@@ -123,6 +128,114 @@ def cell_hotspots(
         "ring_cells",
         gi_z.alias("gi_z"),
     )
+
+
+def nn_distance_stats(
+    pts: DataFrame,
+    res: float,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Per-tile nearest-neighbor distance statistics + Clark-Evans ratio:
+    (cell_id, n, sum_nn_micro, max_nn_micro, mean_nn_micro, ce_ratio).
+
+    The classic point-pattern dispersion analytic: each point's 1-NN
+    distance (exact, via the grid kNN join — the reference's brute-force
+    ground-truth semantics, programs/epsilon_graph.cpp kNN tests), grouped
+    by the point's tile. ``ce_ratio`` is Clark & Evans 1954: observed mean
+    NN distance over the expected mean 0.5/sqrt(density) for a Poisson
+    process of the cell's density n/res² — ~1 random, <1 clustered,
+    >1 dispersed.
+
+    Scale shape: the kNN join is the certified adaptive-ring grid plan
+    (never all-pairs); coordinates re-attach through two id-keyed hash
+    equi-joins; the terminal aggregate is tile-keyed. Distances are
+    quantized to BIGINT micro-units before summing (exact, associative);
+    mean and CE ratio are fixed expression trees over those integers.
+    """
+    from parallelcovertree_spark.operators.knn import knn_join
+
+    nn = knn_join(pts, k=1, id_col=id_col, x=x, y=y)
+    a = pts.select(
+        F.col(id_col).alias("src"),
+        F.col(x).cast("double").alias("ax"),
+        F.col(y).cast("double").alias("ay"),
+    )
+    b = pts.select(
+        F.col(id_col).alias("dst"),
+        F.col(x).cast("double").alias("bx"),
+        F.col(y).cast("double").alias("by"),
+    )
+    j = nn.join(a, "src").join(b, "dst")
+    dx = F.col("ax") - F.col("bx")
+    dy = F.col("ay") - F.col("by")
+    nn_micro = F.floor(F.sqrt(dx * dx + dy * dy) * F.lit(1000000.0)).cast("long")
+    per_cell = (
+        j.select(
+            cell_id_from_ix(cell_ix(F.col("ax"), res), cell_ix(F.col("ay"), res)).alias(
+                "cell_id"
+            ),
+            nn_micro.alias("_nn"),
+        )
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_nn").alias("sum_nn_micro"),
+            F.max("_nn").alias("max_nn_micro"),
+        )
+    )
+    # fixed trees over exact ints — mirrored in the oracle
+    mean_nn = F.col("sum_nn_micro").cast("double") / F.col("n").cast("double")
+    density = F.col("n").cast("double") / F.lit(float(res) * float(res))
+    ce = (mean_nn / F.lit(1000000.0)) * (F.lit(2.0) * F.sqrt(density))
+    return per_cell.select(
+        "cell_id",
+        "n",
+        "sum_nn_micro",
+        "max_nn_micro",
+        mean_nn.alias("mean_nn_micro"),
+        ce.alias("ce_ratio"),
+    )
+
+
+def nn_distance_oracle_sql(pts_cte_body: str, res: float) -> str:
+    """DuckDB twin of :func:`nn_distance_stats` — by-definition quadratic
+    1-NN (same d2-then-id ranking the kNN gates pin), then the identical
+    tile aggregation and CE expression tree."""
+    res2 = float(res) * float(res)
+    return f"""WITH pts AS ({pts_cte_body}),
+d AS (
+  SELECT a.id AS src, a.x AS ax, a.y AS ay,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.id
+           ORDER BY (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y), b.id
+         ) AS rk
+  FROM pts a, pts b WHERE a.id <> b.id
+),
+nn AS (
+  SELECT src, ax, ay,
+         CAST(FLOOR(SQRT(d2) * 1000000.0) AS BIGINT) AS nn_micro
+  FROM d WHERE rk = 1
+),
+c AS (
+  SELECT (CAST(FLOOR(ax / {res!r}) AS BIGINT) + {_OFF}) * {_SHIFT}
+           + (CAST(FLOOR(ay / {res!r}) AS BIGINT) + {_OFF}) AS cell_id,
+         nn_micro
+  FROM nn
+),
+agg AS (
+  SELECT cell_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(nn_micro) AS BIGINT) AS sum_nn_micro,
+         CAST(MAX(nn_micro) AS BIGINT) AS max_nn_micro
+  FROM c GROUP BY cell_id
+)
+SELECT cell_id, n, sum_nn_micro, max_nn_micro,
+       CAST(sum_nn_micro AS DOUBLE) / CAST(n AS DOUBLE) AS mean_nn_micro,
+       (CAST(sum_nn_micro AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+         * (2.0 * SQRT(CAST(n AS DOUBLE) / {res2!r})) AS ce_ratio
+FROM agg"""
 
 
 def cell_hotspots_oracle_sql(pts_cte_body: str, res: float, k: int = 1) -> str:

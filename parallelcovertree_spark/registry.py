@@ -2584,6 +2584,26 @@ def trajectory_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trajectory_stats(ev)
 
 
+from parallelcovertree_spark.operators.hotspot import (  # noqa: E402
+    nn_distance_oracle_sql,
+    nn_distance_stats,
+)
+
+
+@_register(
+    "nn_distance_cells",
+    nn_distance_oracle_sql(geo.points_cte("doc_id", "documents"), TILE_RES),
+)
+def nn_distance_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile 1-NN distance statistics + Clark-Evans dispersion ratio —
+    exact NN via the certified grid kNN plan (never all-pairs), distances
+    quantized to BIGINT micro-units, CE ratio a fixed tree over exact ints.
+    The oracle is by-definition quadratic (sf0.01 gate; excluded at sf1
+    with the other O(n²) oracles — the Spark plan itself is scale-checked
+    by the kNN bench lines)."""
+    return nn_distance_stats(_doc_points(spark, sf_dir), TILE_RES)
+
+
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 

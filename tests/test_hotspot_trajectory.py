@@ -73,6 +73,49 @@ def test_hotspot_partition_invariance(spark):
     assert r1 == r8  # exact — integer sums + fixed-tree doubles
 
 
+# --- NN distance / Clark-Evans -------------------------------------------
+
+
+def test_nn_distance_hand_computed(spark):
+    from parallelcovertree_spark.operators.hotspot import nn_distance_stats
+
+    # collinear points at x=0,3,7 → 1-NN distances 3,3,4; one big cell
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 3.0, 0.0), (3, 7.0, 0.0)], "id long, x double, y double"
+    )
+    rows = nn_distance_stats(pts, 100.0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n"] == 3
+    assert r["sum_nn_micro"] == 10_000_000
+    assert r["max_nn_micro"] == 4_000_000
+    assert r["mean_nn_micro"] == pytest.approx(10_000_000 / 3)
+    # CE = mean_nn * 2*sqrt(density) = (10/3) * 2*sqrt(3/10000)
+    assert r["ce_ratio"] == pytest.approx((10 / 3) * 2 * math.sqrt(3 / 10000.0), rel=1e-9)
+
+
+def test_nn_distance_clustered_vs_dispersed(spark):
+    from parallelcovertree_spark.operators.hotspot import nn_distance_stats
+
+    # cell A [0,10): 3 tight clusters of 3 → tiny NN distances (CE << 1)
+    clustered = [
+        (i * 10 + j, 1.0 + 3.0 * i + 0.01 * j, 1.0) for i in range(3) for j in range(3)
+    ]
+    # cell B [10,20): 3×3 regular 3-spaced lattice → near-Poisson/dispersed
+    dispersed = [
+        (1000 + i * 10 + j, 11.0 + 3.0 * i, 1.0 + 3.0 * j)
+        for i in range(3)
+        for j in range(3)
+    ]
+    pts = spark.createDataFrame(clustered + dispersed, "id long, x double, y double")
+    out = {r["cell_id"]: r for r in nn_distance_stats(pts, 10.0).collect()}
+    a = out[_cell(0, 0)]
+    b = out[_cell(1, 0)]
+    assert a["n"] == b["n"] == 9
+    assert a["ce_ratio"] < 0.1 < b["ce_ratio"]
+    assert b["ce_ratio"] > 1.0  # regular lattice is MORE dispersed than random
+
+
 # --- trajectories --------------------------------------------------------
 
 

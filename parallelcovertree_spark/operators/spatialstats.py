@@ -1,0 +1,384 @@
+"""Spatial point-pattern statistics over the tile grid.
+
+Three classic spatial-analytics operators a geospatial engine runs after
+tiling (BASELINE.json north_rule — H3/S2 analytics over geotagged pages),
+complementing the local Gi* hotspot detector (operators/hotspot.py):
+
+- :func:`morans_i` — GLOBAL spatial autocorrelation (Moran 1950) of the
+  per-tile document counts under 1-ring queen adjacency: one number saying
+  whether occupied tiles with many documents neighbor other heavy tiles
+  (I > E[I]) or interleave with light ones (I < E[I]).
+- :func:`ripley_k` — Ripley's K / Besag's L point-pattern statistic at a
+  radius ladder: multi-scale clustered/dispersed diagnosis, the multi-r
+  generalization of the Clark-Evans ratio (hotspot.py::nn_distance_stats).
+- :func:`coverage_gaps` — empty tiles inside the data's bounding extent,
+  each annotated with the document mass on its 1-ring: the spatial analog
+  of time-series gap filling (registry events_minute_gapfill) and the
+  "where is the corpus blind" audit of a geo-sharded crawl.
+
+Scale shape: every operator's only point-volume stage is either the
+per-cell count shuffle (Moran, gaps) or the certified grid ε-join (Ripley
+— never all-pairs); all later work is histogram-/pair-sized. The dense
+gap grid is bounded by extent-area / res², a tile-space quantity
+independent of document count.
+
+Cross-engine parity: counts and pair sums are exact BIGINTs; every double
+is a fixed IEEE expression tree over those integers (divisions +
+correctly-rounded sqrt), mirrored token-for-token in the DuckDB oracles.
+
+Reference parity note: the reference has no spatial statistics; the pair
+enumeration reuses the ε-join whose semantics match
+/root/reference/programs/epsilon_graph.cpp, and the ring enumeration is
+the same k-ring the ε-join prunes with (functions/cells.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parallelcovertree_spark.functions.cells import (
+    _OFF,
+    _SHIFT,
+    cell_id_from_ix,
+    cell_ix,
+    k_ring_offsets,
+)
+
+__all__ = [
+    "morans_i",
+    "morans_i_oracle_sql",
+    "ripley_k",
+    "ripley_k_oracle_sql",
+    "coverage_gaps",
+    "coverage_gaps_oracle_sql",
+]
+
+
+def _hist(pts: DataFrame, res: float, x: str, y: str) -> DataFrame:
+    """Per-occupied-cell BIGINT counts — the one point-volume shuffle."""
+    return pts.groupBy(
+        cell_ix(x, res).alias("ix"), cell_ix(y, res).alias("iy")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def _ring_contrib(hist: DataFrame, include_self: bool) -> DataFrame:
+    """Donor explode: each occupied cell donates its count to its 1-ring
+    targets (histogram-sized, pure Catalyst — no shuffle until the caller
+    re-aggregates on the target key)."""
+    offs = [
+        (dx, dy)
+        for dx, dy in k_ring_offsets(1)
+        if include_self or (dx, dy) != (0, 0)
+    ]
+    arr = F.array(
+        *[
+            F.struct(
+                (F.col("ix") + F.lit(dx)).alias("tix"),
+                (F.col("iy") + F.lit(dy)).alias("tiy"),
+            )
+            for dx, dy in offs
+        ]
+    )
+    return hist.select(F.explode(arr).alias("t"), F.col("n").alias("n_src")).select(
+        "t.tix", "t.tiy", "n_src"
+    )
+
+
+# --- Moran's I ---------------------------------------------------------------
+
+
+def morans_i(pts: DataFrame, res: float, x: str = "x", y: str = "y") -> DataFrame:
+    """Global Moran's I of per-tile counts under 1-ring queen adjacency
+    (unit weights over OCCUPIED neighbor cells — empty tiles carry no
+    signal, consistent with the Gi* treatment in hotspot.py).
+
+    One row: (n_cells, w_pairs, sn, snn, s1p, s2p, moran_i, expected_i).
+
+    The textbook form I = (N/W)·Σw_ij(x_i−x̄)(x_j−x̄)/Σ(x_i−x̄)² is
+    rewritten algebraically over exact integer aggregates so both engines
+    evaluate the same fixed tree: Σ_pairs x_i·x_j (s1p), Σ_pairs (x_i+x_j)
+    (s2p), directed pair count W, and the global Σx, Σx², N moments —
+    numerator = s1p − x̄·s2p + x̄²·W, denominator = Σx² − N·x̄².
+
+    Plan: point-volume cell count, then histogram-sized work only — donor
+    explode (8 offsets) re-joined onto the histogram for the pair
+    aggregates, two single-row aggregates cross-joined (broadcast by
+    construction). The histogram feeds three consumers, so it is pinned
+    with localCheckpoint (same discipline as cell_hotspots).
+    """
+    hist = _hist(pts, res, x, y).localCheckpoint(eager=False)
+    contrib = _ring_contrib(hist, include_self=False)
+    nbr = hist.select(
+        F.col("ix").alias("tix"), F.col("iy").alias("tiy"), F.col("n").alias("n_dst")
+    )
+    pagg = (
+        contrib.join(nbr, ["tix", "tiy"], "inner")
+        .agg(
+            F.count(F.lit(1)).alias("w"),
+            F.sum(F.col("n_src") * F.col("n_dst")).alias("s1p"),
+            F.sum(F.col("n_src") + F.col("n_dst")).alias("s2p"),
+        )
+    )
+    moments = hist.agg(
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+        F.count(F.lit(1)).alias("cc"),
+    )
+    row = moments.crossJoin(F.broadcast(pagg))
+    snD = F.col("sn").cast("double")
+    snnD = F.col("snn").cast("double")
+    ccD = F.col("cc").cast("double")
+    wD = F.col("w").cast("double")
+    s1pD = F.col("s1p").cast("double")
+    s2pD = F.col("s2p").cast("double")
+    xbar = snD / ccD
+    num = s1pD - xbar * s2pD + xbar * xbar * wD
+    den = snnD - ccD * (xbar * xbar)
+    return row.select(
+        F.col("cc").alias("n_cells"),
+        F.col("w").alias("w_pairs"),
+        "sn",
+        "snn",
+        "s1p",
+        "s2p",
+        ((ccD / wD) * (num / den)).alias("moran_i"),
+        (F.lit(-1.0) / (ccD - F.lit(1.0))).alias("expected_i"),
+    )
+
+
+def morans_i_oracle_sql(pts_cte_body: str, res: float) -> str:
+    """DuckDB twin of :func:`morans_i` — identical integer aggregates and
+    token-for-token the same double expression tree."""
+    xbar = "(CAST(g.sn AS DOUBLE) / CAST(g.cc AS DOUBLE))"
+    num = (
+        f"CAST(p.s1p AS DOUBLE) - {xbar} * CAST(p.s2p AS DOUBLE) "
+        f"+ {xbar} * {xbar} * CAST(p.w AS DOUBLE)"
+    )
+    den = f"CAST(g.snn AS DOUBLE) - CAST(g.cc AS DOUBLE) * ({xbar} * {xbar})"
+    return f"""WITH pts AS ({pts_cte_body}),
+h AS (
+  SELECT CAST(FLOOR(x / {res!r}) AS BIGINT) AS ix,
+         CAST(FLOOR(y / {res!r}) AS BIGINT) AS iy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2
+),
+contrib AS (
+  SELECT h.ix + dx.d AS tix, h.iy + dy.d AS tiy, h.n AS n_src
+  FROM h,
+       (SELECT unnest(range(-1, 2)) AS d) dx,
+       (SELECT unnest(range(-1, 2)) AS d) dy
+  WHERE NOT (dx.d = 0 AND dy.d = 0)
+),
+p AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS w,
+         CAST(SUM(c.n_src * h2.n) AS BIGINT) AS s1p,
+         CAST(SUM(c.n_src + h2.n) AS BIGINT) AS s2p
+  FROM contrib c JOIN h h2 ON c.tix = h2.ix AND c.tiy = h2.iy
+),
+g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS sn,
+         CAST(SUM(n * n) AS BIGINT) AS snn,
+         CAST(COUNT(*) AS BIGINT) AS cc
+  FROM h
+)
+SELECT g.cc AS n_cells, p.w AS w_pairs, g.sn AS sn, g.snn AS snn,
+       p.s1p AS s1p, p.s2p AS s2p,
+       (CAST(g.cc AS DOUBLE) / CAST(p.w AS DOUBLE)) * (({num}) / ({den})) AS moran_i,
+       -1.0 / (CAST(g.cc AS DOUBLE) - 1.0) AS expected_i
+FROM g, p"""
+
+
+# --- Ripley's K --------------------------------------------------------------
+
+_PI = math.pi  # repr() round-trips to the identical double in both engines
+
+
+def ripley_k(
+    pts: DataFrame,
+    radii: list[float],
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Ripley's K̂ and Besag's L̂ at each radius in ``radii`` (ascending).
+
+    One row per radius: (r, n_pairs, k_est, l_est) with
+    ``n_pairs`` the DIRECTED pair count Σ_{i≠j} 1[d_ij ≤ r] (exact BIGINT),
+    ``k_est = A·n_pairs / (n·(n−1))`` with A the bounding-box area
+    (no edge correction — the uncorrected estimator; documented bias at the
+    boundary, identical in both engines), and ``l_est = sqrt(k_est/π)``
+    (≈ r for a Poisson process; > r clustered, < r dispersed).
+
+    Plan: ONE grid ε-join at max(radii) (the certified 1-shuffle plan,
+    never all-pairs), then a single conditional-sum aggregate bins every
+    pair into the whole ladder at once — the radius ladder costs one pass,
+    not |radii| joins. Extent and count are a broadcast scalar row.
+    """
+    from parallelcovertree_spark.operators.epsilon_join import epsilon_self_join
+
+    radii = sorted(float(r) for r in radii)
+    rmax = radii[-1]
+    pairs = epsilon_self_join(
+        pts, rmax, id_col=id_col, x=x, y=y, include_self=False, emit_dist2=True
+    )
+    # coalesce: zero pairs at rmax leaves the aggregate input empty — the
+    # ladder must report 0, not NULL
+    counts = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("dist2") <= F.lit(r * r), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"p{i}")
+            for i, r in enumerate(radii)
+        ]
+    )
+    xD = F.col(x).cast("double")
+    yD = F.col(y).cast("double")
+    meta = pts.agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.min(xD).alias("minx"),
+        F.max(xD).alias("maxx"),
+        F.min(yD).alias("miny"),
+        F.max(yD).alias("maxy"),
+    )
+    row = meta.crossJoin(F.broadcast(counts))
+    nD = F.col("n_pts").cast("double")
+    area = (F.col("maxx") - F.col("minx")) * (F.col("maxy") - F.col("miny"))
+    out = None
+    for i, r in enumerate(radii):
+        pD = F.col(f"p{i}").cast("double")
+        k_est = (area / (nD * (nD - F.lit(1.0)))) * pD
+        one = row.select(
+            F.lit(float(r)).alias("r"),
+            F.col(f"p{i}").alias("n_pairs"),
+            k_est.alias("k_est"),
+            F.sqrt(k_est / F.lit(_PI)).alias("l_est"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
+def ripley_k_oracle_sql(pts_cte_body: str, radii: list[float]) -> str:
+    """DuckDB twin of :func:`ripley_k` — by-definition quadratic pair
+    enumeration (gate scale only), identical conditional bins and the same
+    k/l expression trees."""
+    radii = sorted(float(r) for r in radii)
+    rmax = radii[-1]
+    bins = ",\n         ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN d2 <= {r * r!r} THEN 1 ELSE 0 END), 0)"
+        f" AS BIGINT) AS p{i}"
+        for i, r in enumerate(radii)
+    )
+    k_of = lambda i: (  # noqa: E731 - local SQL template
+        f"(((maxx - minx) * (maxy - miny)) "
+        f"/ (CAST(n_pts AS DOUBLE) * (CAST(n_pts AS DOUBLE) - 1.0))) "
+        f"* CAST(p{i} AS DOUBLE)"
+    )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r!r} AS r, p{i} AS n_pairs, {k_of(i)} AS k_est, "
+        f"SQRT(({k_of(i)}) / {_PI!r}) AS l_est FROM m, c"
+        for i, r in enumerate(radii)
+    )
+    return f"""WITH pts AS ({pts_cte_body}),
+d AS (
+  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a, pts b
+  WHERE a.id <> b.id
+    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {rmax * rmax!r}
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pts,
+         MIN(x) AS minx, MAX(x) AS maxx, MIN(y) AS miny, MAX(y) AS maxy
+  FROM pts
+),
+c AS (
+  SELECT {bins}
+  FROM d
+)
+{sel}"""
+
+
+# --- coverage gaps -----------------------------------------------------------
+
+
+def coverage_gaps(pts: DataFrame, res: float, x: str = "x", y: str = "y") -> DataFrame:
+    """(cell_id, ring_n) for every EMPTY tile inside the occupied bounding
+    extent; ``ring_n`` is the document total on the gap's 1-ring (0 for
+    tiles isolated from all data — interior holes rank higher).
+
+    Plan: per-cell count (the one point-volume shuffle, pinned — three
+    consumers), extent as a broadcast scalar row, dense grid generated
+    engine-side via sequence-explode (cardinality = extent/res² — a
+    tile-space bound independent of document count; at planetary extents
+    generate it from spark.range block-wise instead), anti-join against
+    the occupied histogram, donor-explode ring totals left-joined on.
+    """
+    hist = _hist(pts, res, x, y).localCheckpoint(eager=False)
+    ext = hist.agg(
+        F.min("ix").alias("minix"),
+        F.max("ix").alias("maxix"),
+        F.min("iy").alias("miniy"),
+        F.max("iy").alias("maxiy"),
+    )
+    grid = (
+        ext.select(
+            F.explode(F.sequence(F.col("minix"), F.col("maxix"))).alias("ix"),
+            "miniy",
+            "maxiy",
+        )
+        .select("ix", F.explode(F.sequence(F.col("miniy"), F.col("maxiy"))).alias("iy"))
+    )
+    gaps = grid.join(hist.select("ix", "iy"), ["ix", "iy"], "left_anti")
+    ring = (
+        _ring_contrib(hist, include_self=True)
+        .groupBy("tix", "tiy")
+        .agg(F.sum("n_src").alias("ring_n"))
+    )
+    joined = gaps.join(
+        ring, (gaps["ix"] == ring["tix"]) & (gaps["iy"] == ring["tiy"]), "left"
+    )
+    return joined.select(
+        cell_id_from_ix(F.col("ix"), F.col("iy")).alias("cell_id"),
+        F.coalesce(F.col("ring_n"), F.lit(0).cast("long")).alias("ring_n"),
+    )
+
+
+def coverage_gaps_oracle_sql(pts_cte_body: str, res: float) -> str:
+    """DuckDB twin of :func:`coverage_gaps` — dense grid via two chained
+    unnest(range(...)) stages (chained, not same-SELECT: DuckDB zips
+    parallel unnests), anti-join, ring totals."""
+    return f"""WITH pts AS ({pts_cte_body}),
+h AS (
+  SELECT CAST(FLOOR(x / {res!r}) AS BIGINT) AS ix,
+         CAST(FLOOR(y / {res!r}) AS BIGINT) AS iy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pts GROUP BY 1, 2
+),
+ext AS (
+  SELECT MIN(ix) AS minix, MAX(ix) AS maxix, MIN(iy) AS miniy, MAX(iy) AS maxiy
+  FROM h
+),
+gx AS (SELECT unnest(range(minix, maxix + 1)) AS ix, miniy, maxiy FROM ext),
+grid AS (SELECT ix, unnest(range(miniy, maxiy + 1)) AS iy FROM gx),
+gaps AS (
+  SELECT g.ix, g.iy FROM grid g
+  LEFT JOIN h ON g.ix = h.ix AND g.iy = h.iy
+  WHERE h.ix IS NULL
+),
+contrib AS (
+  SELECT h.ix + dx.d AS tix, h.iy + dy.d AS tiy, h.n
+  FROM h,
+       (SELECT unnest(range(-1, 2)) AS d) dx,
+       (SELECT unnest(range(-1, 2)) AS d) dy
+),
+r AS (
+  SELECT tix, tiy, CAST(SUM(n) AS BIGINT) AS ring_n FROM contrib GROUP BY 1, 2
+)
+SELECT (gaps.ix + {_OFF}) * {_SHIFT} + (gaps.iy + {_OFF}) AS cell_id,
+       COALESCE(r.ring_n, CAST(0 AS BIGINT)) AS ring_n
+FROM gaps LEFT JOIN r ON gaps.ix = r.tix AND gaps.iy = r.tiy"""

@@ -2641,6 +2641,57 @@ def bm25_top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_top_terms(_docs(spark, sf_dir), k=3, k1=_BM25_K1, b=_BM25_B)
 
 
+from parallelcovertree_spark.operators.spatialstats import (  # noqa: E402
+    coverage_gaps,
+    coverage_gaps_oracle_sql,
+    morans_i,
+    morans_i_oracle_sql,
+    ripley_k,
+    ripley_k_oracle_sql,
+)
+
+_RIPLEY_RADII = [0.5, 1.0, 1.5, 2.0]
+_GAP_RES = 1.0
+
+
+@_register(
+    "morans_i_cells",
+    morans_i_oracle_sql(geo.points_cte("doc_id", "documents"), TILE_RES),
+)
+def morans_i_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I of per-tile document counts (1-ring queen weights
+    over occupied cells) — the global-autocorrelation companion to the
+    local Gi* hotspot gate. Point-volume work is one cell-count shuffle;
+    everything after is histogram-sized; every double a fixed tree over
+    exact BIGINT aggregates (operators/spatialstats.py)."""
+    return morans_i(_doc_points(spark, sf_dir), TILE_RES)
+
+
+@_register(
+    "ripley_k_docs",
+    ripley_k_oracle_sql(geo.points_cte("doc_id", "documents"), _RIPLEY_RADII),
+)
+def ripley_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K / Besag's L at radii 0.5–2.0: one grid ε-join at r_max
+    bins the whole ladder via conditional sums (never |radii| joins, never
+    all-pairs). The oracle is by-definition quadratic — gate scale only;
+    the join plan itself is the certified flagship (operators/
+    spatialstats.py)."""
+    return ripley_k(_doc_points(spark, sf_dir), _RIPLEY_RADII)
+
+
+@_register(
+    "coverage_gaps",
+    coverage_gaps_oracle_sql(geo.points_cte("doc_id", "documents"), _GAP_RES),
+)
+def coverage_gaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty tiles inside the data extent + document mass on their 1-ring —
+    the spatial gap-fill audit (analog of events_minute_gapfill). Dense
+    grid cardinality is extent/res² (tile-space bound, doc-count
+    independent) (operators/spatialstats.py)."""
+    return coverage_gaps(_doc_points(spark, sf_dir), _GAP_RES)
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

@@ -1,0 +1,189 @@
+"""Closed-form + numpy-twin pins for the spatial statistics operators
+(Moran's I, Ripley's K, coverage gaps) — the semantics the DuckDB gate
+can't isolate: sign behavior on designed patterns, brute-force pair
+parity, hole detection at extent edges, exact partition invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from parallelcovertree_spark.functions.cells import _OFF, _SHIFT
+from parallelcovertree_spark.operators.spatialstats import (
+    coverage_gaps,
+    morans_i,
+    ripley_k,
+)
+
+
+def _cell(ix: int, iy: int) -> int:
+    return (ix + _OFF) * _SHIFT + (iy + _OFF)
+
+
+def _grid_points(counts: dict[tuple[int, int], int]) -> list[tuple[float, float]]:
+    """One point at the center of cell (ix, iy), repeated count times (res=1)."""
+    return [
+        (float(ix) + 0.5, float(iy) + 0.5)
+        for (ix, iy), n in counts.items()
+        for _ in range(n)
+    ]
+
+
+def _moran_numpy(counts: dict[tuple[int, int], int]) -> float:
+    """Textbook Moran's I over occupied cells, queen 1-ring weights."""
+    xs = np.array(list(counts.values()), dtype=float)
+    xbar = xs.mean()
+    w = 0
+    num = 0.0
+    for (ix, iy), n in counts.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                nb = counts.get((ix + dx, iy + dy))
+                if nb is not None:
+                    w += 1
+                    num += (n - xbar) * (nb - xbar)
+    den = float(((xs - xbar) ** 2).sum())
+    return (len(xs) / w) * (num / den)
+
+
+# --- Moran's I -----------------------------------------------------------
+
+
+def test_moran_matches_numpy_textbook_form(spark):
+    rng = np.random.default_rng(11)
+    counts = {
+        (int(ix), int(iy)): int(n)
+        for ix, iy, n in zip(
+            rng.integers(-3, 4, 25), rng.integers(-3, 4, 25), rng.integers(1, 9, 25)
+        )
+    }
+    pts = spark.createDataFrame(_grid_points(counts), "x double, y double")
+    r = morans_i(pts, 1.0).collect()[0]
+    assert r["n_cells"] == len(counts)
+    assert r["moran_i"] == pytest.approx(_moran_numpy(counts), rel=1e-12)
+    assert r["expected_i"] == pytest.approx(-1.0 / (len(counts) - 1), rel=1e-12)
+
+
+def test_moran_sign_on_designed_patterns(spark):
+    # checkerboard 1/9 alternating → strong NEGATIVE autocorrelation
+    checker = {
+        (ix, iy): (1 if (ix + iy) % 2 == 0 else 9)
+        for ix in range(6)
+        for iy in range(6)
+    }
+    # two homogeneous halves (left all 9, right all 1) → POSITIVE
+    halves = {
+        (ix, iy): (9 if ix < 3 else 1) for ix in range(6) for iy in range(6)
+    }
+    neg = morans_i(
+        spark.createDataFrame(_grid_points(checker), "x double, y double"), 1.0
+    ).collect()[0]
+    pos = morans_i(
+        spark.createDataFrame(_grid_points(halves), "x double, y double"), 1.0
+    ).collect()[0]
+    assert neg["moran_i"] < neg["expected_i"] < pos["moran_i"]
+    assert neg["moran_i"] == pytest.approx(_moran_numpy(checker), rel=1e-12)
+    assert pos["moran_i"] == pytest.approx(_moran_numpy(halves), rel=1e-12)
+
+
+def test_moran_partition_invariance_exact(spark):
+    rng = np.random.default_rng(3)
+    rows = [
+        (float(a), float(b))
+        for a, b in zip(rng.uniform(-5, 5, 400), rng.uniform(-5, 5, 400))
+    ]
+    r1 = morans_i(
+        spark.createDataFrame(rows, "x double, y double").coalesce(1), 2.0
+    ).collect()[0]
+    r8 = morans_i(
+        spark.createDataFrame(rows, "x double, y double").repartition(8), 2.0
+    ).collect()[0]
+    assert tuple(r1) == tuple(r8)  # exact — integer aggs + fixed-tree doubles
+
+
+# --- Ripley's K ----------------------------------------------------------
+
+
+def _pair_counts(xy: np.ndarray, radii: list[float]) -> list[int]:
+    d2 = ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    return [int((d2 <= r * r).sum()) for r in radii]
+
+
+def test_ripley_matches_brute_force(spark):
+    rng = np.random.default_rng(5)
+    xy = rng.uniform(0.0, 8.0, (300, 2))
+    radii = [0.25, 0.5, 1.0, 2.0]
+    pts = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(xy)],
+        "id long, x double, y double",
+    )
+    rows = {r["r"]: r for r in ripley_k(pts, radii, id_col="id").collect()}
+    want = _pair_counts(xy, radii)
+    area = (xy[:, 0].max() - xy[:, 0].min()) * (xy[:, 1].max() - xy[:, 1].min())
+    n = len(xy)
+    for r, w in zip(radii, want):
+        row = rows[r]
+        assert row["n_pairs"] == w
+        assert row["k_est"] == pytest.approx(area * w / (n * (n - 1)), rel=1e-12)
+        assert row["l_est"] == pytest.approx(
+            np.sqrt(row["k_est"] / np.pi), rel=1e-12
+        )
+    # K must be monotone in r
+    ks = [rows[r]["k_est"] for r in radii]
+    assert ks == sorted(ks)
+
+
+def test_ripley_clustered_vs_regular(spark):
+    # clustered: 20 tight clumps of 10 → l_est >> r at small r.
+    # regular lattice (spacing 1) → l_est < r for r just under the spacing.
+    rng = np.random.default_rng(9)
+    centers = rng.uniform(0, 20, (20, 2))
+    clumped = (centers[:, None, :] + rng.normal(0, 0.02, (20, 10, 2))).reshape(-1, 2)
+    lattice = np.array([(i, j) for i in range(14) for j in range(14)], float)
+
+    def l_at(xy, r):
+        pts = spark.createDataFrame(
+            [(i, float(a), float(b)) for i, (a, b) in enumerate(xy)],
+            "id long, x double, y double",
+        )
+        return ripley_k(pts, [r], id_col="id").collect()[0]["l_est"]
+
+    assert l_at(clumped, 0.5) > 0.5 * 2  # strong clustering
+    assert l_at(lattice, 0.9) < 0.9  # dispersed below lattice spacing
+
+
+# --- coverage gaps -------------------------------------------------------
+
+
+def test_coverage_gap_interior_hole(spark):
+    # 3×3 block with the center missing: one gap, ring_n = 8 cells × 2 docs
+    counts = {
+        (ix, iy): 2 for ix in range(4, 7) for iy in range(4, 7) if (ix, iy) != (5, 5)
+    }
+    pts = spark.createDataFrame(_grid_points(counts), "x double, y double")
+    rows = coverage_gaps(pts, 1.0).collect()
+    assert len(rows) == 1
+    assert rows[0]["cell_id"] == _cell(5, 5)
+    assert rows[0]["ring_n"] == 16
+
+
+def test_coverage_gap_isolated_hole_ring_zero(spark):
+    # occupied (0,0) and (0,4): extent is a 1×5 strip; the middle gap (0,2)
+    # touches no occupied cell → ring_n = 0; edge gaps see their neighbor
+    pts = spark.createDataFrame(
+        [(0.5, 0.5), (0.5, 0.5), (0.5, 4.5)], "x double, y double"
+    )
+    rows = {r["cell_id"]: r["ring_n"] for r in coverage_gaps(pts, 1.0).collect()}
+    assert set(rows) == {_cell(0, 1), _cell(0, 2), _cell(0, 3)}
+    assert rows[_cell(0, 1)] == 2  # ring covers (0,0) with 2 docs
+    assert rows[_cell(0, 2)] == 0  # isolated interior hole
+    assert rows[_cell(0, 3)] == 1  # ring covers (0,4) with 1 doc
+
+
+def test_coverage_no_gaps_when_dense(spark):
+    counts = {(ix, iy): 1 for ix in range(3) for iy in range(3)}
+    pts = spark.createDataFrame(_grid_points(counts), "x double, y double")
+    assert coverage_gaps(pts, 1.0).count() == 0

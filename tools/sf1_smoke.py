@@ -72,6 +72,7 @@ def build(dst: str) -> None:
 QUADRATIC_ORACLES = {
     "knn_docs", "knn_docs_kernel", "knn_docs_queries", "covertree_knn",
     "nn_distance_cells",  # 1-NN stats: same O(n²) ranked-pair oracle as knn_docs
+    "ripley_k_docs",  # pair counting: by-definition O(n²) oracle CTE
     "ann_cosine_topk",
     # exact high-dim kNN: the SPARK side is the scalable hub-routed plan,
     # but the oracle is the by-definition O(n²·dim) flat self-join

@@ -32,6 +32,7 @@ __all__ = [
     "tfidf_top_terms",
     "bm25_top_terms",
     "corpus_bigrams",
+    "bigram_pmi",
     "repetition_stats",
     "contamination_check",
     "ngram_contamination",
@@ -207,6 +208,65 @@ def corpus_bigrams(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     per_doc = pairs.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("tf"))
     return per_doc.groupBy("bigram").agg(
         F.sum("tf").alias("cnt"), F.count(F.lit(1)).alias("doc_freq")
+    )
+
+
+def bigram_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information: the classic
+    multi-word-expression / tokenizer-merge-candidate pass (Church & Hanks
+    1990) over word bigrams with corpus count ≥ ``min_count``.
+
+    Ranking is by the RATIONAL PMI core c_xy·N / (c_x·c_y) — log dropped as
+    globally monotone, so ``pmi_score`` is ONE IEEE division of two exact
+    BIGINT products and ranks are bit-identical cross-engine (the BM25
+    discipline). Integer range: c_xy ≤ N and c_x·c_y ≤ N², so N must stay
+    below ~3·10⁹ tokens per product — at larger corpora rescale counts or
+    move the product to DECIMAL (documented, not silently lossy).
+
+    Plan: one HOF pass extracts adjacent pairs (tokens never leave the JVM),
+    one token pass builds unigram counts; the candidate set is filtered by
+    ``min_count`` BEFORE the two term-keyed hash joins (vocabulary never
+    assumed broadcastable); global top-k via orderBy+limit = TakeOrdered
+    (per-partition partials, no single-task window). (w1, w2) uniqueness
+    makes the k-boundary deterministic.
+    """
+    toks = docs.select(F.split(F.col(text_col), " ").alias("toks"))
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "filter(transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (t, i) -> IF(t <> '' AND toks[i + 1] <> '',"
+                " named_struct('w1', t, 'w2', toks[i + 1]), NULL)),"
+                " x -> x IS NOT NULL)"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    uni = _tokens(docs, text_col, id_col).groupBy("term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = uni.agg(F.sum("c").alias("n_tok"))
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    s = (
+        bg.where(F.col("cnt") >= F.lit(int(min_count)))
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = (F.col("cnt") * F.col("n_tok")).cast("double") / (
+        F.col("c1") * F.col("c2")
+    ).cast("double")
+    return (
+        s.select("w1", "w2", "cnt", "c1", "c2", pmi.alias("pmi_score"))
+        .orderBy(F.desc("pmi_score"), "w1", "w2")
+        .limit(int(k))
     )
 
 

@@ -114,4 +114,82 @@ def pagerank_oracle_sql(
     )
 
 
-__all__ = ["PR_INIT", "pagerank", "pagerank_oracle_sql"]
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(id, n_triangles) per vertex participating in ≥1 triangle of the
+    undirected graph given as (src, dst) edge rows (either or both
+    directions; self-loops ignored).
+
+    The scalable shape (Cohen 2009 / Suri-Vassilvitskii 2011): orient each
+    edge from the LOWER (degree, id) endpoint to the higher, so every
+    vertex's out-degree is O(√m) and the wedge join Σ outdeg² is O(m^{3/2})
+    — a hub with in-degree d no longer spawns d² wedges (the web-graph /
+    ε-graph skew case; on the uniform gate corpus orientation ≈ halves
+    wedge volume). A triangle (u→v, u→w, v→w) is found exactly once: the
+    wedge join on the common tail u emits each out-pair in both orders and
+    the closing hash join keeps the one orientation that is an edge.
+
+    Plan: degree aggregate, two vertex-keyed joins to decorate endpoints,
+    wedge self-join on the tail, closing equi-join on (v, w), then a 3-way
+    explode + count per vertex. The oriented edge list feeds three
+    consumers — pinned with localCheckpoint (iterative-op discipline, same
+    as pagerank above).
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("degb"))
+    dec = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = dec.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint(eager=False)
+    e1 = oriented.select(F.col("u"), F.col("v").alias("w1"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("w2"))
+    wedges = e1.join(e2, "u").where(F.col("w1") != F.col("w2"))
+    closing = oriented.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
+    tri = wedges.join(closing, ["w1", "w2"])
+    verts = tri.select(F.explode(F.array("u", "w1", "w2")).alias("id"))
+    return verts.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def triangle_counts_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`triangle_counts` — by-definition canonical
+    (a < b < c) triple join over the undirected edge set; per-vertex counts
+    via a 3-way unnest. Orientation in the engine is an implementation
+    detail: both sides count each triangle exactly once per member vertex."""
+    return f"""WITH e0 AS ({edges_sql}),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+v AS (SELECT unnest([x, y, z]) AS id FROM t)
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM v GROUP BY id"""
+
+
+__all__ = [
+    "PR_INIT",
+    "pagerank",
+    "pagerank_oracle_sql",
+    "triangle_counts",
+    "triangle_counts_oracle_sql",
+]

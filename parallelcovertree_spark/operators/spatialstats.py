@@ -54,6 +54,7 @@ __all__ = [
     "ripley_k_oracle_sql",
     "coverage_gaps",
     "coverage_gaps_oracle_sql",
+    "idw_interpolate",
 ]
 
 
@@ -301,6 +302,81 @@ c AS (
   FROM d
 )
 {sel}"""
+
+
+# --- inverse-distance-weighted interpolation ---------------------------------
+
+# w = floor(1e9 / (d² + 1e-3)): the +1e-3 regularizer caps a coincident
+# neighbor's weight at 10¹² (k·w·v stays far below 2⁶³ for BIGINT values
+# ≤ ~10⁵), and floor-quantizing to BIGINT makes the weighted sums exact,
+# associative, and engine-portable — the same micro-unit discipline as
+# trajectory_stats / nn_distance_stats.
+_IDW_SCALE = 1000000000.0
+_IDW_REG = 0.001
+
+
+def idw_interpolate(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+    value_col: str = "v",
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation of ``value_col`` at each
+    query point from its k exact nearest corpus neighbors: the classic
+    spatial estimator (Shepard 1968) — predict a field value where no
+    measurement exists.
+
+    One row per query: (query_id, n_nbrs, sum_w, sum_wv, idw_value) with
+    integer weights w = floor(1e9/(d²+1e-3)) so sums are exact BIGINTs and
+    ``idw_value`` one IEEE division.
+
+    Plan: the certified two-table block-kernel kNN (queries ship once into
+    their grid block, never all-pairs), then two id-keyed hash joins
+    re-attach coordinates and the measured value, and a query-keyed
+    aggregate. A corpus row sharing a query's id is excluded (querying the
+    corpus at one of its own points interpolates from the OTHER points —
+    the leave-one-out form).
+    """
+    from parallelcovertree_spark.operators.knn import knn_join_block_kernel
+
+    nn = knn_join_block_kernel(corpus, k=k, id_col=id_col, x=x, y=y, queries=queries)
+    q = queries.select(
+        F.col(id_col).alias("src"),
+        F.col(x).cast("double").alias("qx"),
+        F.col(y).cast("double").alias("qy"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("dst"),
+        F.col(x).cast("double").alias("cx"),
+        F.col(y).cast("double").alias("cy"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    j = nn.join(q, "src").join(c, "dst")
+    dx = F.col("qx") - F.col("cx")
+    dy = F.col("qy") - F.col("cy")
+    d2 = dx * dx + dy * dy
+    w = F.floor(F.lit(_IDW_SCALE) / (d2 + F.lit(_IDW_REG))).cast("long")
+    agg = (
+        j.select(F.col("src"), w.alias("w"), F.col("v"))
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.sum("w").alias("sum_w"),
+            F.sum(F.col("w") * F.col("v")).alias("sum_wv"),
+        )
+    )
+    return agg.select(
+        F.col("src").alias("query_id"),
+        "n_nbrs",
+        "sum_w",
+        "sum_wv",
+        (F.col("sum_wv").cast("double") / F.col("sum_w").cast("double")).alias(
+            "idw_value"
+        ),
+    )
 
 
 # --- coverage gaps -----------------------------------------------------------

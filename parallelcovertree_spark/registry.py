@@ -2692,6 +2692,113 @@ def coverage_gaps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage_gaps(_doc_points(spark, sf_dir), _GAP_RES)
 
 
+from parallelcovertree_spark.operators.graph import (  # noqa: E402
+    triangle_counts,
+    triangle_counts_oracle_sql,
+)
+from parallelcovertree_spark.operators.spatialstats import idw_interpolate  # noqa: E402
+
+_TRI_EDGES_SQL = f"""SELECT a.id AS src, b.id AS dst
+  FROM pts a, pts b
+  WHERE a.id < b.id
+    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {EPS_RADIUS * EPS_RADIUS!r}"""
+
+
+@_register(
+    "triangle_counts_docs",
+    f"{_PTS_CTE}\n"
+    + triangle_counts_oracle_sql(_TRI_EDGES_SQL).replace("WITH ", ", ", 1),
+)
+def triangle_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts on the ε-graph — local clustering
+    structure (community cores, link-farm detection on a web graph). The
+    engine orients edges by (degree, id) so wedge volume is O(m^{3/2})
+    regardless of hubs; the oracle counts canonical a<b<c triples
+    by definition (quadratic edge CTE — gate scale only)
+    (operators/graph.py)."""
+    from parallelcovertree_spark.operators.epsilon_join import epsilon_self_join
+
+    edges = epsilon_self_join(
+        _doc_points(spark, sf_dir), EPS_RADIUS, id_col="id", include_self=False
+    )
+    return triangle_counts(edges)
+
+
+@_register(
+    "idw_interpolation",
+    f"""{_PTS_CTE},
+d AS (
+  SELECT a.id AS src, b.id AS dst,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.id
+           ORDER BY (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y), b.id
+         ) AS rk
+  FROM pts a, pts b WHERE a.id < 100 AND a.id <> b.id
+),
+n AS (SELECT src, dst, d2 FROM d WHERE rk <= {KNN_K}),
+w AS (
+  SELECT n.src,
+         CAST(FLOOR(1000000000.0 / (n.d2 + 0.001)) AS BIGINT) AS w,
+         doc.n_chars AS v
+  FROM n JOIN documents doc ON doc.doc_id = n.dst
+)
+SELECT src AS query_id, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+       CAST(SUM(w) AS BIGINT) AS sum_w,
+       CAST(SUM(w * v) AS BIGINT) AS sum_wv,
+       CAST(SUM(w * v) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS idw_value
+FROM w GROUP BY src
+""",
+)
+def idw_interpolation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation of n_chars at the first 100
+    doc locations from their 10 exact NNs (leave-one-out) — kNN put to its
+    canonical downstream use. Integer micro-unit weights make the sums
+    exact; the oracle is the by-definition ranked quadratic (gate scale)
+    (operators/spatialstats.py)."""
+    pts = _doc_points(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("n_chars").alias("v")
+    )
+    corpus = pts.join(docs, "id")
+    return idw_interpolate(pts.where(F.col("id") < 100), corpus, k=KNN_K)
+
+
+_PMI_MIN_COUNT, _PMI_TOP_K = 5, 20
+
+
+@_register(
+    "bigram_pmi_top",
+    f"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+i AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+p AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM i WHERE toks[i] <> '' AND toks[i + 1] <> ''
+),
+bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM p GROUP BY w1, w2),
+tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+uni AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok WHERE term <> '' GROUP BY term
+),
+g AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni)
+SELECT bg.w1, bg.w2, bg.cnt, u1.c AS c1, u2.c AS c2,
+       CAST(bg.cnt * g.n_tok AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE) AS pmi_score
+FROM bg JOIN uni u1 ON bg.w1 = u1.term JOIN uni u2 ON bg.w2 = u2.term, g
+WHERE bg.cnt >= {_PMI_MIN_COUNT}
+ORDER BY pmi_score DESC, bg.w1, bg.w2 LIMIT {_PMI_TOP_K}
+""",
+)
+def bigram_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by rational-PMI (count ≥ 5) — tokenizer-merge /
+    multiword-expression candidates. One HOF bigram pass + one token pass;
+    min-count filter precedes the term-keyed joins; TakeOrdered top-k
+    (operators/corpus.py::bigram_pmi)."""
+    from parallelcovertree_spark.operators.corpus import bigram_pmi
+
+    return bigram_pmi(_docs(spark, sf_dir), min_count=_PMI_MIN_COUNT, k=_PMI_TOP_K)
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

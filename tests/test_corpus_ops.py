@@ -239,3 +239,41 @@ def test_dup_passages_matches_python_twin(spark):
         nd = sum(1 for h in ws if counts[h] > 1)
         assert got[i] == (len(ws), nd, nd / len(ws)), i
     assert got[4][1] >= 1  # the planted shared window is flagged everywhere
+
+
+def test_bigram_pmi_matches_counter(docs_df):
+    from parallelcovertree_spark.operators.corpus import bigram_pmi
+
+    # python twin over RAW adjacency (pairs touching an empty token dropped)
+    uni = Counter(t for _, text, _ in DOCS for t in _toks(text))
+    n_tok = sum(uni.values())
+    bg = Counter()
+    for _, text, _ in DOCS:
+        raw = text.split(" ")
+        for a, b in zip(raw, raw[1:]):
+            if a and b:
+                bg[(a, b)] += 1
+    want = sorted(
+        (
+            (-(c * n_tok) / (uni[w1] * uni[w2]), w1, w2, c)
+            for (w1, w2), c in bg.items()
+            if c >= 2
+        ),
+    )[:10]
+    got = bigram_pmi(docs_df, min_count=2, k=10).collect()
+    assert len(got) == len(want)
+    for row, (nscore, w1, w2, c) in zip(got, want):
+        assert (row["w1"], row["w2"], row["cnt"]) == (w1, w2, c)
+        assert (row["c1"], row["c2"]) == (uni[w1], uni[w2])
+        assert row["pmi_score"] == pytest.approx(-nscore, rel=1e-12)
+
+
+def test_bigram_pmi_collocation_outranks_frequent_pair(spark):
+    from parallelcovertree_spark.operators.corpus import bigram_pmi
+
+    # "hong kong" always co-occurs; "the end" pairs two frequent words
+    docs = [(i, "hong kong the end the story the") for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = bigram_pmi(df, min_count=1, k=20).collect()
+    order = [(r["w1"], r["w2"]) for r in rows]
+    assert order.index(("hong", "kong")) < order.index(("the", "end"))

@@ -47,3 +47,49 @@ def test_pagerank_structure(spark):
     got = {r.node: r.rank for r in pagerank(df, n_iter=5).collect()}
     assert got[4] == 15 * PR_INIT // 100
     assert got[2] == max(got.values())  # highest in-degree wins here
+
+
+# --- triangle counting ----------------------------------------------------
+
+
+def _triangles_py(edges):
+    """Per-vertex triangle counts via canonical triple loop."""
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({v for e in und for v in e})
+    out = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in und:
+                continue
+            for c in nodes[nodes.index(b) + 1:]:
+                if (b, c) in und and (a, c) in und:
+                    for v in (a, b, c):
+                        out[v] = out.get(v, 0) + 1
+    return out
+
+
+def test_triangles_k4_plus_path(spark):
+    from parallelcovertree_spark.operators.graph import triangle_counts
+
+    # K4 on 0..3 (4 triangles, each vertex in 3) + triangle-free path 4-5-6;
+    # edges in mixed orientation with duplicates and a self-loop
+    edges = [(0, 1), (1, 0), (0, 2), (0, 3), (2, 1), (1, 3), (2, 3),
+             (4, 5), (6, 5), (6, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_match_python_twin_on_skewed_graph(spark):
+    import numpy as np
+
+    from parallelcovertree_spark.operators.graph import triangle_counts
+
+    # hub 0 linked to everything + random sparse edges: exercises the
+    # degree-orientation path (hub must not dominate wedge generation)
+    rng = np.random.default_rng(13)
+    edges = [(0, int(v)) for v in range(1, 40)]
+    edges += [(int(a), int(b)) for a, b in rng.integers(1, 40, (120, 2)) if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == _triangles_py(edges)

@@ -187,3 +187,62 @@ def test_coverage_no_gaps_when_dense(spark):
     counts = {(ix, iy): 1 for ix in range(3) for iy in range(3)}
     pts = spark.createDataFrame(_grid_points(counts), "x double, y double")
     assert coverage_gaps(pts, 1.0).count() == 0
+
+
+# --- IDW interpolation ----------------------------------------------------
+
+
+def _idw_py(qxy, cid_xy_v, k):
+    """Python twin: exact top-k by (d2, id), integer micro-unit weights."""
+    out = {}
+    for qid, qx, qy in qxy:
+        cands = sorted(
+            ((cx - qx) ** 2 + (cy - qy) ** 2, cid, v)
+            for cid, cx, cy, v in cid_xy_v
+            if cid != qid
+        )[:k]
+        ws = [(int(np.floor(1e9 / (d2 + 1e-3))), v) for d2, _, v in cands]
+        sw = sum(w for w, _ in ws)
+        swv = sum(w * v for w, v in ws)
+        out[qid] = (len(ws), sw, swv, swv / sw)
+    return out
+
+
+def test_idw_hand_computed(spark):
+    from parallelcovertree_spark.operators.spatialstats import idw_interpolate
+
+    # query 100 at origin; corpus values 10 at d²=1, 40 at d²=4
+    corpus = [(1, 1.0, 0.0, 10), (2, 0.0, 2.0, 40)]
+    q = spark.createDataFrame([(100, 0.0, 0.0)], "id long, x double, y double")
+    c = spark.createDataFrame(corpus, "id long, x double, y double, v long")
+    r = idw_interpolate(q, c, k=2).collect()[0]
+    w1 = int(np.floor(1e9 / (1.0 + 1e-3)))
+    w2 = int(np.floor(1e9 / (4.0 + 1e-3)))
+    assert (r["query_id"], r["n_nbrs"]) == (100, 2)
+    assert r["sum_w"] == w1 + w2
+    assert r["sum_wv"] == w1 * 10 + w2 * 40
+    assert r["idw_value"] == pytest.approx((w1 * 10 + w2 * 40) / (w1 + w2), rel=1e-12)
+
+
+def test_idw_leave_one_out_and_twin(spark):
+    from parallelcovertree_spark.operators.spatialstats import idw_interpolate
+
+    rng = np.random.default_rng(17)
+    xy = rng.uniform(0, 6, (80, 2))
+    vals = rng.integers(1, 1000, 80)
+    corpus = [
+        (i, float(a), float(b), int(v)) for i, ((a, b), v) in enumerate(zip(xy, vals))
+    ]
+    # queries drawn FROM the corpus → leave-one-out must exclude same id
+    queries = [(i, x, y) for i, x, y, _ in corpus[:15]]
+    q = spark.createDataFrame(queries, "id long, x double, y double")
+    c = spark.createDataFrame(corpus, "id long, x double, y double, v long")
+    got = {
+        r["query_id"]: (r["n_nbrs"], r["sum_w"], r["sum_wv"], r["idw_value"])
+        for r in idw_interpolate(q, c, k=5).collect()
+    }
+    want = _idw_py(queries, corpus, k=5)
+    for qid, (n, sw, swv, val) in want.items():
+        gn, gsw, gswv, gval = got[qid]
+        assert (gn, gsw, gswv) == (n, sw, swv)
+        assert gval == pytest.approx(val, rel=1e-12)

@@ -73,6 +73,11 @@ QUADRATIC_ORACLES = {
     "knn_docs", "knn_docs_kernel", "knn_docs_queries", "covertree_knn",
     "nn_distance_cells",  # 1-NN stats: same O(n²) ranked-pair oracle as knn_docs
     "ripley_k_docs",  # pair counting: by-definition O(n²) oracle CTE
+    "idw_interpolation",  # same O(n²) ranked-pair oracle shape as knn_docs
+    # quadratic edge CTE + avg degree ~386 at sf1 makes the oracle's wedge
+    # join ~hundreds of millions of rows; the engine's oriented plan is the
+    # scalable one but shares the gate's corpus only at sf0.01
+    "triangle_counts_docs",
     "ann_cosine_topk",
     # exact high-dim kNN: the SPARK side is the scalable hub-routed plan,
     # but the oracle is the by-definition O(n²·dim) flat self-join

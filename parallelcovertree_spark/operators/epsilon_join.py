@@ -207,6 +207,7 @@ def epsilon_join(
     right_id: str = "id",
     x: str = "x",
     y: str = "y",
+    emit_dist2: bool = False,
 ) -> DataFrame:
     """Two-table ε-join (queries × corpus).
 
@@ -234,10 +235,13 @@ def epsilon_join(
         res, x="tx", y="ty", out="_cell",
     )
     d2 = dist2_expr("sx", "sy", "tx", "ty")
+    out_cols = [F.col("src"), F.col("dst")]
+    if emit_dist2:
+        out_cols.append(d2.alias("dist2"))
     return (
         left.hint("shuffle_hash").join(right.hint("shuffle_hash"), "_cell")
         .where(d2 <= F.lit(res * res))
-        .select("src", "dst")
+        .select(*out_cols)
     )
 
 

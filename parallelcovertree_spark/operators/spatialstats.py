@@ -55,6 +55,10 @@ __all__ = [
     "coverage_gaps",
     "coverage_gaps_oracle_sql",
     "idw_interpolate",
+    "kde_cells",
+    "kde_cells_oracle_sql",
+    "cross_k",
+    "cross_k_oracle_sql",
 ]
 
 
@@ -297,6 +301,219 @@ m AS (
          MIN(x) AS minx, MAX(x) AS maxx, MIN(y) AS miny, MAX(y) AS maxy
   FROM pts
 ),
+c AS (
+  SELECT {bins}
+  FROM d
+)
+{sel}"""
+
+
+# --- kernel density estimation ----------------------------------------------
+
+# Epanechnikov contributions are floor-quantized at 0.75e6 so per-cell sums
+# are exact BIGINTs (associative, partition/engine-independent); the density
+# normalization is one IEEE division at the end.
+_KDE_SCALE = 750000.0
+
+
+def kde_cells(pts: DataFrame, res: float, x: str = "x", y: str = "y") -> DataFrame:
+    """Epanechnikov kernel density estimate sampled at tile centers with
+    bandwidth h = ``res`` — the heatmap-rendering operator behind every
+    density tile layer.
+
+    One row per cell center receiving ≥1 in-bandwidth point:
+    (cell_id, n_contrib, kde_micro, density) with
+    ``kde_micro = Σ floor(0.75·(1−d²/h²)·10⁶)`` over points with d < h and
+    ``density = kde_micro / (n·h²·10⁶)`` (the standard 1/(n·h²)
+    normalization, u-scaled).
+
+    With h = res every center within bandwidth of a point lies in the
+    point's 1-ring (centers two cells away are ≥ 1.5·res > h), so the plan
+    is a 9× map-side explode + ONE cell-keyed shuffle of quantized
+    contributions — contribution-bounded, never a radius join against a
+    dense center grid.
+    """
+    r = float(res)
+    ix, iy = cell_ix(x, r), cell_ix(y, r)
+    offs = F.array(
+        *[
+            F.struct(
+                (ix + F.lit(dx)).alias("tix"), (iy + F.lit(dy)).alias("tiy")
+            )
+            for dx, dy in k_ring_offsets(1)
+        ]
+    )
+    t = pts.select(
+        F.explode(offs).alias("t"),
+        F.col(x).cast("double").alias("px"),
+        F.col(y).cast("double").alias("py"),
+    ).select("t.tix", "t.tiy", "px", "py")
+    cxx = (F.col("tix").cast("double") + F.lit(0.5)) * F.lit(r)
+    cyy = (F.col("tiy").cast("double") + F.lit(0.5)) * F.lit(r)
+    dxe = F.col("px") - cxx
+    dye = F.col("py") - cyy
+    u2 = (dxe * dxe + dye * dye) / F.lit(r * r)
+    contrib = F.floor((F.lit(1.0) - u2) * F.lit(_KDE_SCALE)).cast("long")
+    inb = t.where(u2 < F.lit(1.0)).select(
+        "tix", "tiy", contrib.alias("c")
+    )
+    agg = inb.groupBy("tix", "tiy").agg(
+        F.count(F.lit(1)).alias("n_contrib"), F.sum("c").alias("kde_micro")
+    )
+    n = pts.agg(F.count(F.lit(1)).alias("n_pts"))
+    return agg.crossJoin(F.broadcast(n)).select(
+        cell_id_from_ix(F.col("tix"), F.col("tiy")).alias("cell_id"),
+        "n_contrib",
+        "kde_micro",
+        (
+            F.col("kde_micro").cast("double")
+            / (F.col("n_pts").cast("double") * F.lit(r * r * 1000000.0))
+        ).alias("density"),
+    )
+
+
+def kde_cells_oracle_sql(pts_cte_body: str, res: float) -> str:
+    """DuckDB twin of :func:`kde_cells` — identical ring offsets, the same
+    u², floor-quantized contribution, and normalization expression trees."""
+    r = float(res)
+    cxx = f"(CAST(tix AS DOUBLE) + 0.5) * {r!r}"
+    cyy = f"(CAST(tiy AS DOUBLE) + 0.5) * {r!r}"
+    u2 = f"((px - {cxx}) * (px - {cxx}) + (py - {cyy}) * (py - {cyy})) / {r * r!r}"
+    return f"""WITH pts AS ({pts_cte_body}),
+t AS (
+  SELECT CAST(FLOOR(x / {r!r}) AS BIGINT) + dx.d AS tix,
+         CAST(FLOOR(y / {r!r}) AS BIGINT) + dy.d AS tiy,
+         x AS px, y AS py
+  FROM pts,
+       (SELECT unnest(range(-1, 2)) AS d) dx,
+       (SELECT unnest(range(-1, 2)) AS d) dy
+),
+inb AS (
+  SELECT tix, tiy,
+         CAST(FLOOR((1.0 - {u2}) * {_KDE_SCALE!r}) AS BIGINT) AS c
+  FROM t WHERE {u2} < 1.0
+),
+agg AS (
+  SELECT tix, tiy, CAST(COUNT(*) AS BIGINT) AS n_contrib,
+         CAST(SUM(c) AS BIGINT) AS kde_micro
+  FROM inb GROUP BY 1, 2
+),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pts FROM pts)
+SELECT (tix + {_OFF}) * {_SHIFT} + (tiy + {_OFF}) AS cell_id,
+       n_contrib, kde_micro,
+       CAST(kde_micro AS DOUBLE)
+         / (CAST(n_pts AS DOUBLE) * {r * r * 1000000.0!r}) AS density
+FROM agg, g"""
+
+
+# --- bivariate (cross) Ripley K ----------------------------------------------
+
+
+def cross_k(
+    pts_a: DataFrame,
+    pts_b: DataFrame,
+    radii: list[float],
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Bivariate Ripley cross-K̂ between two point categories (co-location
+    analysis: do A-documents cluster AROUND B-documents, e.g. languages,
+    topics, POI classes?). One row per radius: (r, n_pairs, k_est) with
+    ``n_pairs = Σ_{a∈A, b∈B} 1[d_ab ≤ r]`` and
+    ``k_est = Area·n_pairs/(n_A·n_B)`` over the joint bounding box
+    (uncorrected estimator, same discipline as :func:`ripley_k`).
+
+    Plan: ONE two-table grid ε-join at max(radii) (ring explode on the
+    smaller A side), conditional-sum binning of the whole ladder, joint
+    extent from a union of the two coordinate sets (two scans of
+    metadata-cheap columns; at 100 TB both aggregates pushdown to
+    column-pruned parquet scans).
+    """
+    from parallelcovertree_spark.operators.epsilon_join import epsilon_join
+
+    radii = sorted(float(r) for r in radii)
+    rmax = radii[-1]
+    pairs = epsilon_join(
+        pts_a, pts_b, rmax, left_id=id_col, right_id=id_col, x=x, y=y,
+        emit_dist2=True,
+    )
+    counts = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("dist2") <= F.lit(r * r), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"p{i}")
+            for i, r in enumerate(radii)
+        ]
+    )
+    xD, yD = F.col(x).cast("double"), F.col(y).cast("double")
+    both = pts_a.select(xD.alias("cx"), yD.alias("cy")).unionAll(
+        pts_b.select(xD.alias("cx"), yD.alias("cy"))
+    )
+    na = pts_a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = pts_b.agg(F.count(F.lit(1)).alias("n_b"))
+    ext = both.agg(
+        F.min("cx").alias("minx"),
+        F.max("cx").alias("maxx"),
+        F.min("cy").alias("miny"),
+        F.max("cy").alias("maxy"),
+    )
+    row = (
+        ext.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(counts))
+    )
+    area = (F.col("maxx") - F.col("minx")) * (F.col("maxy") - F.col("miny"))
+    naD, nbD = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    out = None
+    for i, r in enumerate(radii):
+        pD = F.col(f"p{i}").cast("double")
+        one = row.select(
+            F.lit(float(r)).alias("r"),
+            F.col(f"p{i}").alias("n_pairs"),
+            ((area / (naD * nbD)) * pD).alias("k_est"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
+def cross_k_oracle_sql(
+    pts_a_sql: str, pts_b_sql: str, radii: list[float]
+) -> str:
+    """DuckDB twin of :func:`cross_k` — quadratic A×B pair enumeration
+    (gate scale), identical bins and expression trees."""
+    radii = sorted(float(r) for r in radii)
+    rmax = radii[-1]
+    bins = ",\n         ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN d2 <= {r * r!r} THEN 1 ELSE 0 END), 0)"
+        f" AS BIGINT) AS p{i}"
+        for i, r in enumerate(radii)
+    )
+    k_of = (
+        "(((maxx - minx) * (maxy - miny)) "
+        "/ (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) * CAST(p{i} AS DOUBLE)"
+    )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r!r} AS r, p{i} AS n_pairs, {k_of.format(i=i)} AS k_est "
+        f"FROM m, na, nb, c"
+        for i, r in enumerate(radii)
+    )
+    return f"""WITH a AS ({pts_a_sql}),
+b AS ({pts_b_sql}),
+d AS (
+  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM a, b
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {rmax * rmax!r}
+),
+m AS (
+  SELECT MIN(cx) AS minx, MAX(cx) AS maxx, MIN(cy) AS miny, MAX(cy) AS maxy
+  FROM (SELECT x AS cx, y AS cy FROM a UNION ALL SELECT x AS cx, y AS cy FROM b)
+),
+na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM a),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM b),
 c AS (
   SELECT {bins}
   FROM d

@@ -2799,6 +2799,101 @@ def bigram_pmi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_pmi(_docs(spark, sf_dir), min_count=_PMI_MIN_COUNT, k=_PMI_TOP_K)
 
 
+from parallelcovertree_spark.operators.spatialstats import (  # noqa: E402
+    cross_k,
+    cross_k_oracle_sql,
+    kde_cells,
+    kde_cells_oracle_sql,
+)
+
+
+@_register(
+    "zonal_stats",
+    f"""{_PTS_CTE},
+{_POLYS_CTE},
+hits AS (
+  SELECT p.id AS point_id, poly_id
+  FROM pts p, polys
+  WHERE {{inside}}
+),
+j AS (
+  SELECT h.poly_id, d.n_chars AS v
+  FROM hits h JOIN documents d ON d.doc_id = h.point_id
+)
+SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v,
+       CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_v
+FROM j GROUP BY poly_id
+""",
+)
+def zonal_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics: per-polygon count/sum/min/max/mean of n_chars via
+    the raster↔vector path (tile-cover cell equi-join + exact verify) —
+    the classic raster zonal-stats operator over the north rule's
+    point-in-polygon surface (operators/polygon.py::zonal_stats)."""
+    from parallelcovertree_spark.operators.polygon import zonal_stats
+
+    pts = _doc_points(spark, sf_dir).join(
+        _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("id"), F.col("n_chars").alias("v")
+        ),
+        "id",
+    )
+    return zonal_stats(pts, _polys(spark, sf_dir), res=TILE_RES)
+
+
+@_register(
+    "kde_cells",
+    kde_cells_oracle_sql(geo.points_cte("doc_id", "documents"), TILE_RES),
+)
+def kde_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epanechnikov KDE heatmap at tile centers (bandwidth = tile size):
+    9× map-side explode + one cell-keyed shuffle of floor-quantized BIGINT
+    contributions; density is one terminal IEEE division
+    (operators/spatialstats.py::kde_cells)."""
+    return kde_cells(_doc_points(spark, sf_dir), TILE_RES)
+
+
+_CROSS_K_LANGS = ("en", "de")
+
+
+@_register(
+    "cross_k_langs",
+    cross_k_oracle_sql(
+        geo.points_cte("doc_id", "documents") + f" WHERE lang = '{_CROSS_K_LANGS[0]}'",
+        geo.points_cte("doc_id", "documents") + f" WHERE lang = '{_CROSS_K_LANGS[1]}'",
+        _RIPLEY_RADII,
+    ),
+)
+def cross_k_langs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Ripley cross-K between English and German documents —
+    co-location analysis across categories. One two-table grid ε-join at
+    r_max bins the whole radius ladder; quadratic oracle is gate-scale
+    only (operators/spatialstats.py::cross_k)."""
+    docs = _docs(spark, sf_dir)
+    pts = docs.select(
+        F.col("doc_id").alias("id"),
+        geo.x_col("doc_id").alias("x"),
+        geo.y_col("doc_id").alias("y"),
+        "lang",
+    )
+    a = pts.where(F.col("lang") == _CROSS_K_LANGS[0]).drop("lang")
+    b = pts.where(F.col("lang") == _CROSS_K_LANGS[1]).drop("lang")
+    return cross_k(a, b, _RIPLEY_RADII)
+
+
+def _zonal_oracle_fixup() -> None:
+    from parallelcovertree_spark.operators.polygon import inside_sql
+
+    _ORACLES["zonal_stats"] = _ORACLES["zonal_stats"].format(
+        inside=inside_sql("p.x", "p.y")
+    )
+
+
+_zonal_oracle_fixup()
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

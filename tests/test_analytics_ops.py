@@ -146,3 +146,45 @@ def test_polygon_metrics_against_closed_forms(spark):
         # to ~1e-6 relative, not machine precision
         assert math.isclose(r.area, 1.5 * math.sqrt(3) * rp * rp, rel_tol=2e-6)
         assert math.isclose(r.perimeter, 6.0 * rp, rel_tol=2e-6)
+
+
+def test_zonal_stats_matches_pip_plus_python_agg(spark):
+    """Zonal stats must equal (point_in_polygon hits) → python aggregation,
+    including a point inside two overlapping hexagons counting in both."""
+    from parallelcovertree_spark.operators.polygon import (
+        point_in_polygon_join,
+        zonal_stats,
+    )
+
+    # two overlapping hexagons + one far away
+    polys = spark.createDataFrame(
+        [(0, 0.0, 0.0, 2.0), (1, 1.0, 0.0, 2.0), (2, 50.0, 50.0, 1.0)],
+        "poly_id long, cx double, cy double, rp double",
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    pts_rows = [
+        (i, float(a), float(b), int(v))
+        for i, (a, b, v) in enumerate(
+            zip(
+                rng.uniform(-3, 5, 120),
+                rng.uniform(-3, 3, 120),
+                rng.integers(1, 100, 120),
+            )
+        )
+    ]
+    pts = spark.createDataFrame(pts_rows, "id long, x double, y double, v long")
+    hits = point_in_polygon_join(pts, polys).collect()
+    vals = {i: v for i, _, _, v in pts_rows}
+    want: dict[int, list[int]] = {}
+    for h in hits:
+        want.setdefault(h["poly_id"], []).append(vals[h["point_id"]])
+    got = {r["poly_id"]: r for r in zonal_stats(pts, polys, res=1.0).collect()}
+    assert set(got) == set(want)  # empty polygons absent on both sides
+    for pid, vs in want.items():
+        r = got[pid]
+        assert r["n_points"] == len(vs)
+        assert r["sum_v"] == sum(vs)
+        assert (r["min_v"], r["max_v"]) == (min(vs), max(vs))
+        assert r["mean_v"] == sum(vs) / len(vs)

@@ -246,3 +246,117 @@ def test_idw_leave_one_out_and_twin(spark):
         gn, gsw, gswv, gval = got[qid]
         assert (gn, gsw, gswv) == (n, sw, swv)
         assert gval == pytest.approx(val, rel=1e-12)
+
+
+# --- KDE -----------------------------------------------------------------
+
+
+def _kde_py(xy, res):
+    """Python twin: 1-ring targets, floor-quantized Epanechnikov."""
+    out = {}
+    n = len(xy)
+    for px, py in xy:
+        ix, iy = int(np.floor(px / res)), int(np.floor(py / res))
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tix, tiy = ix + dx, iy + dy
+                cx, cy = (tix + 0.5) * res, (tiy + 0.5) * res
+                u2 = ((px - cx) ** 2 + (py - cy) ** 2) / (res * res)
+                if u2 < 1.0:
+                    c = int(np.floor((1.0 - u2) * 750000.0))
+                    k, s = out.get((tix, tiy), (0, 0))
+                    out[(tix, tiy)] = (k + 1, s + c)
+    return {
+        (tix, tiy): (k, s, s / (n * res * res * 1e6))
+        for (tix, tiy), (k, s) in out.items()
+    }
+
+
+def test_kde_matches_python_twin(spark):
+    from parallelcovertree_spark.operators.spatialstats import kde_cells
+
+    rng = np.random.default_rng(21)
+    xy = rng.uniform(-3, 3, (200, 2))
+    pts = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in xy], "x double, y double"
+    )
+    got = {
+        r["cell_id"]: (r["n_contrib"], r["kde_micro"], r["density"])
+        for r in kde_cells(pts, 1.0).collect()
+    }
+    want = _kde_py(xy, 1.0)
+    assert set(got) == {_cell(tix, tiy) for tix, tiy in want}
+    for (tix, tiy), (k, s, d) in want.items():
+        gk, gs, gd = got[_cell(tix, tiy)]
+        assert (gk, gs) == (k, s)
+        assert gd == pytest.approx(d, rel=1e-12)
+
+
+def test_kde_peak_at_point_mass(spark):
+    from parallelcovertree_spark.operators.spatialstats import kde_cells
+
+    # 50 points at one cell center → that cell's density is the max and
+    # each point contributes the full kernel (u=0 → 750000)
+    rows = [(5.5, 5.5)] * 50 + [(20.5, 20.5)]
+    pts = spark.createDataFrame(rows, "x double, y double")
+    out = {r["cell_id"]: r for r in kde_cells(pts, 1.0).collect()}
+    peak = out[_cell(5, 5)]
+    assert peak["n_contrib"] == 50
+    assert peak["kde_micro"] == 50 * 750000
+    assert peak["density"] == max(r["density"] for r in out.values())
+
+
+# --- cross-K --------------------------------------------------------------
+
+
+def test_cross_k_matches_brute_force(spark):
+    from parallelcovertree_spark.operators.spatialstats import cross_k
+
+    rng = np.random.default_rng(23)
+    axy = rng.uniform(0, 6, (60, 2))
+    bxy = rng.uniform(0, 6, (40, 2))
+    radii = [0.5, 1.0, 2.0]
+    a = spark.createDataFrame(
+        [(i, float(p), float(q)) for i, (p, q) in enumerate(axy)],
+        "id long, x double, y double",
+    )
+    b = spark.createDataFrame(
+        [(1000 + i, float(p), float(q)) for i, (p, q) in enumerate(bxy)],
+        "id long, x double, y double",
+    )
+    rows = {r["r"]: r for r in cross_k(a, b, radii).collect()}
+    d2 = ((axy[:, None, :] - bxy[None, :, :]) ** 2).sum(-1)
+    allxy = np.vstack([axy, bxy])
+    area = (allxy[:, 0].max() - allxy[:, 0].min()) * (
+        allxy[:, 1].max() - allxy[:, 1].min()
+    )
+    for r in radii:
+        w = int((d2 <= r * r).sum())
+        assert rows[r]["n_pairs"] == w
+        assert rows[r]["k_est"] == pytest.approx(
+            area * w / (len(axy) * len(bxy)), rel=1e-12
+        )
+
+
+def test_cross_k_colocated_exceeds_segregated(spark):
+    from parallelcovertree_spark.operators.spatialstats import cross_k
+
+    # co-located: B points on top of A points; segregated: B far from A
+    rng = np.random.default_rng(29)
+    axy = rng.uniform(0, 10, (50, 2))
+    near = axy[:30] + rng.normal(0, 0.05, (30, 2))
+    far = rng.uniform(20, 30, (30, 2))
+
+    def k_at(bxy, r):
+        a = spark.createDataFrame(
+            [(i, float(p), float(q)) for i, (p, q) in enumerate(axy)],
+            "id long, x double, y double",
+        )
+        b = spark.createDataFrame(
+            [(500 + i, float(p), float(q)) for i, (p, q) in enumerate(bxy)],
+            "id long, x double, y double",
+        )
+        return cross_k(a, b, [r]).collect()[0]["n_pairs"]
+
+    assert k_at(near, 0.5) > 0
+    assert k_at(far, 0.5) == 0  # segregated: zero cross pairs, k_est 0

@@ -43,6 +43,8 @@ __all__ = [
     "cell_hotspots_oracle_sql",
     "nn_distance_stats",
     "nn_distance_oracle_sql",
+    "st_hotspots",
+    "st_hotspots_oracle_sql",
 ]
 
 
@@ -128,6 +130,123 @@ def cell_hotspots(
         "ring_cells",
         gi_z.alias("gi_z"),
     )
+
+
+def st_hotspots(
+    events: DataFrame,
+    res: float,
+    bucket_us: int,
+    us_col: str = "us",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Space-TIME Gi* over (time bucket, tile): the emerging-hotspot /
+    Kulldorff-scan analog — a cell is hot when its 3×3 spatial ring ACROSS
+    the previous, current and next time buckets (27 neighbors) carries far
+    more events than the global (bucket, cell) distribution predicts.
+
+    Output per occupied (bucket, cell): (bucket, cell_id, n, ring_n,
+    ring_cells, gi_z) — exactly :func:`cell_hotspots` lifted one dimension:
+    the only event-volume shuffle is the (bucket, cell) count; the ring is
+    a 27× explode of that histogram; the z-score is the same fixed tree
+    over exact BIGINTs. ``us_col`` is BIGINT epoch-micros (caller derives —
+    NTZ discipline); buckets use integer DIV, identical in DuckDB (``//``)
+    for the non-negative epochs the tables carry.
+    """
+    b = F.expr(f"CAST({us_col} AS BIGINT) DIV {int(bucket_us)}")
+    hist = (
+        events.groupBy(
+            b.alias("tb"), cell_ix(x, res).alias("ix"), cell_ix(y, res).alias("iy")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    offs = F.array(
+        *[
+            F.struct(
+                (F.col("tb") + F.lit(db)).alias("ttb"),
+                (F.col("ix") + F.lit(dx)).alias("tix"),
+                (F.col("iy") + F.lit(dy)).alias("tiy"),
+            )
+            for db in (-1, 0, 1)
+            for dx, dy in k_ring_offsets(1)
+        ]
+    )
+    ring = (
+        hist.select(F.explode(offs).alias("t"), "n")
+        .select("t.ttb", "t.tix", "t.tiy", "n")
+        .groupBy("ttb", "tix", "tiy")
+        .agg(
+            F.sum("n").alias("ring_n"),
+            F.count(F.lit(1)).alias("ring_cells"),
+        )
+    )
+    stats = hist.agg(
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+        F.count(F.lit(1)).alias("cc"),
+    )
+    joined = hist.join(
+        ring,
+        (hist["tb"] == ring["ttb"])
+        & (hist["ix"] == ring["tix"])
+        & (hist["iy"] == ring["tiy"]),
+        "inner",
+    ).crossJoin(F.broadcast(stats))
+    mean = F.col("sn").cast("double") / F.col("cc").cast("double")
+    var = F.col("snn").cast("double") / F.col("cc").cast("double") - mean * mean
+    rc = F.col("ring_cells").cast("double")
+    gi_z = (F.col("ring_n").cast("double") - rc * mean) / F.sqrt(rc * var)
+    return joined.select(
+        F.col("tb").alias("bucket"),
+        cell_id_from_ix(F.col("ix"), F.col("iy")).alias("cell_id"),
+        "n",
+        "ring_n",
+        "ring_cells",
+        gi_z.alias("gi_z"),
+    )
+
+
+def st_hotspots_oracle_sql(ev_cte_body: str, res: float, bucket_us: int) -> str:
+    """DuckDB twin of :func:`st_hotspots` over a CTE body yielding
+    (us, x, y) — same 27-offset ring (three cross-joined unnest ranges) and
+    token-identical z-score tree."""
+    return f"""WITH ev AS ({ev_cte_body}),
+h AS (
+  SELECT us // {int(bucket_us)} AS tb,
+         CAST(FLOOR(x / {res!r}) AS BIGINT) AS ix,
+         CAST(FLOOR(y / {res!r}) AS BIGINT) AS iy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2, 3
+),
+contrib AS (
+  SELECT h.tb + db.d AS ttb, h.ix + dx.d AS tix, h.iy + dy.d AS tiy, h.n
+  FROM h,
+       (SELECT unnest(range(-1, 2)) AS d) db,
+       (SELECT unnest(range(-1, 2)) AS d) dx,
+       (SELECT unnest(range(-1, 2)) AS d) dy
+),
+r AS (
+  SELECT ttb, tix, tiy, CAST(SUM(n) AS BIGINT) AS ring_n,
+         CAST(COUNT(*) AS BIGINT) AS ring_cells
+  FROM contrib GROUP BY 1, 2, 3
+),
+g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS sn,
+         CAST(SUM(n * n) AS BIGINT) AS snn,
+         CAST(COUNT(*) AS BIGINT) AS cc
+  FROM h
+)
+SELECT h.tb AS bucket,
+       (h.ix + {_OFF}) * {_SHIFT} + (h.iy + {_OFF}) AS cell_id,
+       h.n, r.ring_n, r.ring_cells,
+       (CAST(r.ring_n AS DOUBLE) - CAST(r.ring_cells AS DOUBLE)
+          * (CAST(g.sn AS DOUBLE) / CAST(g.cc AS DOUBLE)))
+       / SQRT(CAST(r.ring_cells AS DOUBLE)
+          * (CAST(g.snn AS DOUBLE) / CAST(g.cc AS DOUBLE)
+             - (CAST(g.sn AS DOUBLE) / CAST(g.cc AS DOUBLE))
+               * (CAST(g.sn AS DOUBLE) / CAST(g.cc AS DOUBLE)))) AS gi_z
+FROM h JOIN r ON h.tb = r.ttb AND h.ix = r.tix AND h.iy = r.tiy, g"""
 
 
 def nn_distance_stats(

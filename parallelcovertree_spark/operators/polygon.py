@@ -195,6 +195,46 @@ def zonal_stats(
     )
 
 
+def fence_dwell(
+    events: DataFrame,
+    polys: DataFrame,
+    id_col: str = "user_id",
+    us_col: str = "us",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """(user_id, poly_id, n_events, first_us, last_us, dwell_us): per-user
+    per-fence visit summary — how many events inside each fence polygon and
+    the epoch-microsecond span between the first and last (the dwell-time
+    analytic behind delivery-zone / POI-catchment reporting).
+
+    ``us_col`` is a BIGINT epoch-microseconds column the CALLER derives
+    (the registry's NTZ discipline keeps timezone handling at one place);
+    all outputs are exact BIGINTs — min/max/diff need no quantization.
+
+    Plan: broadcast fence set + bbox prune + exact sign tests (the
+    ``point_in_polygon_join`` physical strategy, inlined so user/time ride
+    through the join), then one (user, poly)-keyed aggregate.
+    """
+    px, py = F.col(x).cast("double"), F.col(y).cast("double")
+    cx, cy, rp = F.col("cx"), F.col("cy"), F.col("rp")
+    bbox = (px >= cx - rp) & (px <= cx + rp) & (py >= cy - rp) & (py <= cy + rp)
+    hits = events.join(F.broadcast(polys), bbox & _inside(px, py, cx, cy, rp))
+    agg = hits.groupBy(id_col, "poly_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.col(us_col).cast("long")).alias("first_us"),
+        F.max(F.col(us_col).cast("long")).alias("last_us"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "poly_id",
+        "n_events",
+        "first_us",
+        "last_us",
+        (F.col("last_us") - F.col("first_us")).alias("dwell_us"),
+    )
+
+
 def raster_vector_join(
     points: DataFrame, polys: DataFrame, res: float,
     id_col: str = "id", x: str = "x", y: str = "y",

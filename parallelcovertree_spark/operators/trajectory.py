@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["trajectory_stats", "TRAJECTORY_ORACLE_SQL_TEMPLATE"]
+__all__ = [
+    "trajectory_stats",
+    "TRAJECTORY_ORACLE_SQL_TEMPLATE",
+    "od_flows",
+    "OD_FLOWS_ORACLE_SQL_TEMPLATE",
+]
 
 _MICRO = 1_000_000.0
 
@@ -92,6 +97,58 @@ def trajectory_stats(
         F.coalesce(F.max("_step"), F.lit(0).cast("long")).alias("max_step_micro"),
         F.max_by("_net", last_key).alias("net_micro"),
     )
+
+
+def od_flows(
+    events: DataFrame,
+    res: float,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """(from_cell, to_cell, n_trips, n_users): the ORIGIN-DESTINATION flow
+    matrix over the tile grid — every consecutive event pair of a user is a
+    trip from its previous tile to its current one (intra-tile hops
+    included: they are the dwell diagonal of the OD matrix).
+
+    The transport-planning / mobility-analytics staple, and the aggregate
+    form of :func:`trajectory_stats`: same single user-keyed window shuffle
+    to order events, then a (from, to)-keyed count. ``n_users`` is an exact
+    COUNT(DISTINCT) — the two-phase expansion is bounded by the flow
+    matrix × its distinct users, and popular corridors partially aggregate
+    map-side.
+    """
+    from parallelcovertree_spark.functions.cells import cell_id
+
+    w = Window.partitionBy(id_col).orderBy(F.asc(ts_col), F.asc(seq_col))
+    cells = events.select(
+        id_col, ts_col, seq_col, cell_id(x, y, res).alias("to_cell")
+    )
+    hops = cells.select(
+        id_col,
+        F.lag("to_cell").over(w).alias("from_cell"),
+        "to_cell",
+    ).where(F.col("from_cell").isNotNull())
+    return hops.groupBy("from_cell", "to_cell").agg(
+        F.count(F.lit(1)).alias("n_trips"),
+        F.countDistinct(id_col).alias("n_users"),
+    )
+
+
+# {pts_cte}: CTE body yielding (user_id, ts, event_id, x, y);
+# {cell_sql}: SQL expression over (x, y) producing the tile id.
+OD_FLOWS_ORACLE_SQL_TEMPLATE = """WITH ev AS ({pts_cte}),
+c AS (SELECT user_id, ts, event_id, {cell_sql} AS to_cell FROM ev),
+h AS (
+  SELECT user_id, to_cell,
+         LAG(to_cell) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_cell
+  FROM c
+)
+SELECT from_cell, to_cell, CAST(COUNT(*) AS BIGINT) AS n_trips,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM h WHERE from_cell IS NOT NULL GROUP BY 1, 2"""
 
 
 # {pts_cte}: CTE body yielding (user_id, ts, event_id, x, y).

@@ -2894,6 +2894,112 @@ def _zonal_oracle_fixup() -> None:
 _zonal_oracle_fixup()
 
 
+# --- movement / space-time analytics over events ------------------------------
+
+from parallelcovertree_spark.operators.hotspot import (  # noqa: E402
+    st_hotspots,
+    st_hotspots_oracle_sql,
+)
+from parallelcovertree_spark.operators.trajectory import (  # noqa: E402
+    OD_FLOWS_ORACLE_SQL_TEMPLATE,
+    od_flows,
+)
+
+_DAY_US = 86_400_000_000
+
+
+def _geo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → (user_id, ts, event_id, x, y) via the SQL-parity geocoder."""
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "ts",
+        "event_id",
+        geo.x_col("event_id").alias("x"),
+        geo.y_col("event_id").alias("y"),
+    )
+
+
+@_register(
+    "od_flows",
+    OD_FLOWS_ORACLE_SQL_TEMPLATE.format(
+        pts_cte=_EV_PTS_CTE, cell_sql=cell_id_sql("x", "y", TILE_RES)
+    ),
+)
+def od_flows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix over tiles: consecutive event pairs
+    per user → (from_cell, to_cell) trip + distinct-user counts. One
+    user-keyed window shuffle + one flow-keyed aggregate
+    (operators/trajectory.py::od_flows)."""
+    return od_flows(_geo_events(spark, sf_dir), TILE_RES)
+
+
+@_register(
+    "fence_dwell",
+    f"""WITH {_POLYS_CTE},
+ev AS (
+  SELECT user_id, EPOCH_US(ts) AS us, {geo.X_SQL.format(id='event_id')} AS x,
+         {geo.Y_SQL.format(id='event_id')} AS y
+  FROM events
+),
+hits AS (
+  SELECT ev.user_id, polys.poly_id, ev.us
+  FROM ev, polys
+  WHERE {{inside}}
+)
+SELECT user_id, poly_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(us) AS BIGINT) AS first_us, CAST(MAX(us) AS BIGINT) AS last_us,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS dwell_us
+FROM hits GROUP BY user_id, poly_id
+""",
+)
+def fence_dwell_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user per-fence visit summary (event count, first/last epoch-us,
+    dwell span) — geofence analytics over the hexagon fences via broadcast
+    + bbox + exact sign tests (operators/polygon.py::fence_dwell)."""
+    from parallelcovertree_spark.operators.polygon import fence_dwell
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr(NTZ_EPOCH_US.format(ts="ts")).alias("us"),
+        geo.x_col("event_id").alias("x"),
+        geo.y_col("event_id").alias("y"),
+    )
+    return fence_dwell(ev, _polys(spark, sf_dir))
+
+
+def _fence_oracle_fixup() -> None:
+    from parallelcovertree_spark.operators.polygon import inside_sql
+
+    _ORACLES["fence_dwell"] = _ORACLES["fence_dwell"].format(
+        inside=inside_sql("ev.x", "ev.y")
+    )
+
+
+_fence_oracle_fixup()
+
+
+@_register(
+    "st_hotspots",
+    st_hotspots_oracle_sql(
+        f"SELECT EPOCH_US(ts) AS us, {geo.X_SQL.format(id='event_id')} AS x, "
+        f"{geo.Y_SQL.format(id='event_id')} AS y FROM events",
+        TILE_RES,
+        _DAY_US,
+    ),
+)
+def st_hotspots_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time Gi* over (day bucket, tile) with a 27-neighbor
+    space×time ring — the emerging-hotspot detector lifted from the static
+    hotspot gate. One event-volume shuffle; z-scores are the same fixed
+    integer-moment tree (operators/hotspot.py::st_hotspots)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr(NTZ_EPOCH_US.format(ts="ts")).alias("us"),
+        geo.x_col("event_id").alias("x"),
+        geo.y_col("event_id").alias("y"),
+    )
+    return st_hotspots(ev, TILE_RES, _DAY_US)
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

@@ -221,3 +221,124 @@ def test_bm25_rare_term_outranks_common_at_equal_tf(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     rows = {r["term"]: r["rank"] for r in bm25_top_terms(df, k=3).collect() if r["doc_id"] == 1}
     assert rows["rare"] < rows["common"]
+
+
+# --- OD flows -------------------------------------------------------------
+
+
+def test_od_flows_hand_computed(spark):
+    from datetime import datetime
+
+    from parallelcovertree_spark.operators.trajectory import od_flows
+
+    t = datetime(2026, 1, 1)
+
+    def ts(s):
+        return t.replace(second=s)
+
+    # user 1: cell(0,0) → cell(1,0) → cell(1,0): one cross hop + one dwell
+    # user 2: cell(0,0) → cell(1,0): same corridor, second distinct user
+    # user 3: single event → no trips
+    rows = [
+        (1, ts(1), 10, 0.5, 0.5),
+        (1, ts(2), 11, 1.5, 0.5),
+        (1, ts(3), 12, 1.6, 0.5),
+        (2, ts(1), 20, 0.6, 0.5),
+        (2, ts(2), 21, 1.4, 0.5),
+        (3, ts(1), 30, 5.5, 5.5),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, x double, y double"
+    )
+    got = {
+        (r["from_cell"], r["to_cell"]): (r["n_trips"], r["n_users"])
+        for r in od_flows(ev, 1.0).collect()
+    }
+    assert got == {
+        (_cell(0, 0), _cell(1, 0)): (2, 2),
+        (_cell(1, 0), _cell(1, 0)): (1, 1),
+    }
+
+
+def test_od_flows_ties_break_on_event_id(spark):
+    from datetime import datetime
+
+    from parallelcovertree_spark.operators.trajectory import od_flows
+
+    t = datetime(2026, 1, 1)
+    # identical ts → event_id order decides the trip direction
+    rows = [(1, t, 2, 1.5, 0.5), (1, t, 1, 0.5, 0.5)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, x double, y double"
+    )
+    got = [
+        (r["from_cell"], r["to_cell"]) for r in od_flows(ev, 1.0).collect()
+    ]
+    assert got == [(_cell(0, 0), _cell(1, 0))]
+
+
+# --- space-time hotspots ---------------------------------------------------
+
+
+def test_st_hotspots_ring_spans_time(spark):
+    from parallelcovertree_spark.operators.hotspot import st_hotspots
+
+    # one cell occupied in buckets 0,1,2 (counts 1,5,1), far cell in bucket 1
+    rows = (
+        [(100, 0.5, 0.5)]
+        + [(86_400_000_000 + i, 0.5, 0.5) for i in range(5)]
+        + [(2 * 86_400_000_000 + 7, 0.5, 0.5)]
+        + [(86_400_000_000 + 9, 50.5, 50.5)]
+    )
+    ev = spark.createDataFrame(rows, "us long, x double, y double")
+    out = {
+        (r["bucket"], r["cell_id"]): r
+        for r in st_hotspots(ev, 1.0, 86_400_000_000).collect()
+    }
+    # middle bucket of the active cell sees all 7 of its own column's events
+    mid = out[(1, _cell(0, 0))]
+    assert (mid["n"], mid["ring_n"], mid["ring_cells"]) == (5, 7, 3)
+    # the far cell's ring is itself only
+    far = out[(1, _cell(50, 50))]
+    assert (far["n"], far["ring_n"], far["ring_cells"]) == (1, 1, 1)
+    # exact z from the global moments: counts {1,5,1,1} → μ=2, σ²=3
+    mu, var = 2.0, 3.0
+    for key, (rn, rc) in {
+        (1, _cell(0, 0)): (7, 3),
+        (0, _cell(0, 0)): (6, 2),
+        (1, _cell(50, 50)): (1, 1),
+    }.items():
+        assert out[key]["gi_z"] == pytest.approx(
+            (rn - rc * mu) / math.sqrt(rc * var), rel=1e-12
+        )
+    # the far singleton sits BELOW the global mean → negative z
+    assert far["gi_z"] < 0
+
+
+# --- fence dwell -----------------------------------------------------------
+
+
+def test_fence_dwell_hand_computed(spark):
+    from parallelcovertree_spark.operators.polygon import fence_dwell
+
+    polys = spark.createDataFrame(
+        [(0, 0.0, 0.0, 2.0), (1, 10.0, 0.0, 2.0)],
+        "poly_id long, cx double, cy double, rp double",
+    )
+    rows = [
+        (1, 1000, 0.1, 0.1),   # fence 0
+        (1, 5000, -0.2, 0.3),  # fence 0
+        (1, 9000, 10.1, 0.0),  # fence 1
+        (2, 400, 0.0, 0.0),    # fence 0, single visit
+        (3, 77, 50.0, 50.0),   # outside everything
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, us long, x double, y double")
+    got = {
+        (r["user_id"], r["poly_id"]): (r["n_events"], r["first_us"], r["last_us"], r["dwell_us"])
+        for r in fence_dwell(ev, polys).collect()
+    }
+    assert got == {
+        (1, 0): (2, 1000, 5000, 4000),
+        (1, 1): (1, 9000, 9000, 0),
+        (2, 0): (1, 400, 400, 0),
+    }

@@ -27,7 +27,7 @@ reuses functions/cells.py (the same ring the ε-join prunes with,
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from parallelcovertree_spark.functions.cells import (
@@ -45,6 +45,8 @@ __all__ = [
     "nn_distance_oracle_sql",
     "st_hotspots",
     "st_hotspots_oracle_sql",
+    "cell_daily_anomaly",
+    "cell_anomaly_oracle_sql",
 ]
 
 
@@ -247,6 +249,94 @@ SELECT h.tb AS bucket,
              - (CAST(g.sn AS DOUBLE) / CAST(g.cc AS DOUBLE))
                * (CAST(g.sn AS DOUBLE) / CAST(g.cc AS DOUBLE)))) AS gi_z
 FROM h JOIN r ON h.tb = r.ttb AND h.ix = r.tix AND h.iy = r.tiy, g"""
+
+
+def cell_daily_anomaly(
+    events: DataFrame,
+    res: float,
+    bucket_us: int,
+    us_col: str = "us",
+    x: str = "x",
+    y: str = "y",
+    min_buckets: int = 3,
+) -> DataFrame:
+    """Temporal anomaly per tile: each (cell, bucket) count z-scored
+    against the CELL'S OWN history (mean/variance over its observed
+    buckets) — "this tile is unusually busy TODAY", the per-cell
+    complement of :func:`st_hotspots`' global baseline.
+
+    Output per observed (cell, bucket) of cells with ≥ ``min_buckets``
+    observed buckets and non-degenerate variance:
+    (cell_id, bucket, n, n_buckets, mean_n, anomaly_z).
+
+    Moments use observed buckets only (a bucket with zero events is
+    absent, not zero — the all-buckets baseline would need the gap-fill
+    grid; documented choice, identical in the oracle). Plan: one
+    event-volume (cell, bucket) count; per-cell moments ride a
+    cell-partitioned window over that histogram (one more histogram-sized
+    shuffle); z is the usual fixed tree over exact BIGINTs.
+    """
+    b = F.expr(f"CAST({us_col} AS BIGINT) DIV {int(bucket_us)}")
+    hist = events.groupBy(
+        cell_ix(x, res).alias("ix"), cell_ix(y, res).alias("iy"), b.alias("tb")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("ix", "iy")
+    m = hist.select(
+        "ix",
+        "iy",
+        "tb",
+        "n",
+        F.sum("n").over(w).alias("sn"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("snn"),
+        F.count(F.lit(1)).over(w).alias("cc"),
+    )
+    mean = F.col("sn").cast("double") / F.col("cc").cast("double")
+    var = F.col("snn").cast("double") / F.col("cc").cast("double") - mean * mean
+    out = m.where(
+        (F.col("cc") >= F.lit(int(min_buckets)))
+        & (F.col("snn") * F.col("cc") != F.col("sn") * F.col("sn"))
+    )
+    return out.select(
+        cell_id_from_ix(F.col("ix"), F.col("iy")).alias("cell_id"),
+        F.col("tb").alias("bucket"),
+        "n",
+        F.col("cc").alias("n_buckets"),
+        mean.alias("mean_n"),
+        ((F.col("n").cast("double") - mean) / F.sqrt(var)).alias("anomaly_z"),
+    )
+
+
+def cell_anomaly_oracle_sql(
+    ev_cte_body: str, res: float, bucket_us: int, min_buckets: int = 3
+) -> str:
+    """DuckDB twin of :func:`cell_daily_anomaly` over a CTE body yielding
+    (us, x, y) — same observed-bucket moments and z tree; the degenerate-
+    variance guard is the integer identity snn·cc ≠ sn² (exact, no float
+    threshold)."""
+    mean = "(CAST(sn AS DOUBLE) / CAST(cc AS DOUBLE))"
+    var = f"(CAST(snn AS DOUBLE) / CAST(cc AS DOUBLE) - {mean} * {mean})"
+    return f"""WITH ev AS ({ev_cte_body}),
+h AS (
+  SELECT CAST(FLOOR(x / {res!r}) AS BIGINT) AS ix,
+         CAST(FLOOR(y / {res!r}) AS BIGINT) AS iy,
+         us // {int(bucket_us)} AS tb,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT ix, iy, tb, n,
+         CAST(SUM(n) OVER w AS BIGINT) AS sn,
+         CAST(SUM(n * n) OVER w AS BIGINT) AS snn,
+         CAST(COUNT(*) OVER w AS BIGINT) AS cc
+  FROM h
+  WINDOW w AS (PARTITION BY ix, iy)
+)
+SELECT (ix + {_OFF}) * {_SHIFT} + (iy + {_OFF}) AS cell_id,
+       tb AS bucket, n, cc AS n_buckets,
+       {mean} AS mean_n,
+       (CAST(n AS DOUBLE) - {mean}) / SQRT({var}) AS anomaly_z
+FROM m
+WHERE cc >= {int(min_buckets)} AND snn * cc <> sn * sn"""
 
 
 def nn_distance_stats(

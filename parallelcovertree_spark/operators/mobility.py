@@ -1,0 +1,232 @@
+"""Per-entity mobility analytics over geotagged events.
+
+The classic human-mobility metrics a geospatial event engine computes after
+tiling (González et al. 2008 and the contact-tracing literature), built on
+the same tile encoder and NTZ-epoch discipline as the rest of the surface:
+
+- :func:`home_cell` — modal tile per user ("home location" inference).
+- :func:`radius_of_gyration` — RMS distance of a user's events from their
+  centroid: the standard mobility-range metric.
+- :func:`colocation_pairs` — user pairs sharing (time bucket, tile) slots:
+  proximity/contact analytics.
+- :func:`cell_daily_anomaly` (in spirit with operators/hotspot.py) lives
+  there; this module is entity-keyed, hotspot.py is cell-keyed.
+
+Scale shape: every operator's event-volume stage is ONE shuffle (a
+user-keyed window or a (user, slot) distinct); later stages operate on
+entity- or slot-cardinality tables. Cross-engine parity: coordinates are
+floor-quantized to integer micro-units BEFORE any sum (exact, associative),
+and every emitted double is a fixed IEEE tree over those integers.
+
+Reference parity note: the reference is point-set-only; this is north-rule
+surface (BASELINE.json — event analytics over the geotagged corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from parallelcovertree_spark.functions.cells import cell_id
+
+__all__ = [
+    "home_cell",
+    "HOME_CELL_ORACLE_SQL_TEMPLATE",
+    "radius_of_gyration",
+    "RADIUS_GYRATION_ORACLE_SQL_TEMPLATE",
+    "colocation_pairs",
+    "COLOCATION_ORACLE_SQL_TEMPLATE",
+]
+
+_MICRO = 1000000.0
+
+
+def home_cell(
+    events: DataFrame,
+    res: float,
+    id_col: str = "user_id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """(user_id, home_cell, n_home, n_total, home_share): each user's modal
+    tile (ties → smallest cell id), their event count there, overall event
+    count, and the share (one IEEE division).
+
+    Plan: one (user, cell) count shuffle; the modal pick and the per-user
+    total both ride a user-partitioned window over that SMALL table —
+    Catalyst reuses one exchange for both window functions and no
+    event-volume join-back occurs.
+    """
+    counts = (
+        events.select(F.col(id_col), cell_id(x, y, res).alias("cell"))
+        .groupBy(id_col, "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(id_col)
+    ranked = counts.select(
+        F.col(id_col),
+        "cell",
+        "n",
+        F.row_number()
+        .over(w.orderBy(F.desc("n"), F.asc("cell")))
+        .alias("rk"),
+        F.sum("n").over(w).alias("n_total"),
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        F.col(id_col),
+        F.col("cell").alias("home_cell"),
+        F.col("n").alias("n_home"),
+        "n_total",
+        (F.col("n").cast("double") / F.col("n_total").cast("double")).alias(
+            "home_share"
+        ),
+    )
+
+
+# {ev_cte}: CTE body yielding (user_id, x, y); {cell_sql}: tile id over (x, y).
+HOME_CELL_ORACLE_SQL_TEMPLATE = """WITH ev AS ({ev_cte}),
+c AS (
+  SELECT user_id, {cell_sql} AS cell, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+),
+r AS (
+  SELECT user_id, cell, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, cell) AS rk,
+         CAST(SUM(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_total
+  FROM c
+)
+SELECT user_id, cell AS home_cell, n AS n_home, n_total,
+       CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS home_share
+FROM r WHERE rk = 1"""
+
+
+def radius_of_gyration(
+    events: DataFrame,
+    id_col: str = "user_id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """(user_id, n_events, rg_micro): root-mean-square distance of a user's
+    event positions from their own centroid, in micro-units.
+
+    Exactness: coordinates are floor-quantized to integer micro-units and
+    summed (exact BIGINT) → the centroid is ONE division of exact ints;
+    per-event squared deviations (micro²-scaled doubles off that centroid)
+    are floor-quantized back to BIGINT before the final sum, so the RMS is
+    a fixed tree regardless of partitioning or engine.
+
+    Plan: user-window pass computes the centroid alongside each event
+    (one shuffle); the terminal user-keyed aggregate reuses the exchange.
+    """
+    w = Window.partitionBy(id_col)
+    xq = F.floor(F.col(x).cast("double") * F.lit(_MICRO)).cast("long")
+    yq = F.floor(F.col(y).cast("double") * F.lit(_MICRO)).cast("long")
+    withc = events.select(
+        F.col(id_col),
+        xq.alias("xq"),
+        yq.alias("yq"),
+    ).select(
+        F.col(id_col),
+        "xq",
+        "yq",
+        F.sum("xq").over(w).alias("sx"),
+        F.sum("yq").over(w).alias("sy"),
+        F.count(F.lit(1)).over(w).alias("cn"),
+    )
+    cxd = F.col("sx").cast("double") / F.col("cn").cast("double")
+    cyd = F.col("sy").cast("double") / F.col("cn").cast("double")
+    dx = F.col("xq").cast("double") - cxd
+    dy = F.col("yq").cast("double") - cyd
+    dev = F.floor((dx * dx + dy * dy) / F.lit(_MICRO)).cast("long")
+    per = withc.select(F.col(id_col), dev.alias("dev"))
+    agg = per.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("dev").alias("sdev")
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_events",
+        F.sqrt(
+            F.col("sdev").cast("double") / F.col("n_events").cast("double")
+        ).alias("rg_micro"),
+    )
+
+
+# {ev_cte}: CTE body yielding (user_id, x, y).
+RADIUS_GYRATION_ORACLE_SQL_TEMPLATE = """WITH ev AS ({ev_cte}),
+q AS (
+  SELECT user_id,
+         CAST(FLOOR(x * 1000000.0) AS BIGINT) AS xq,
+         CAST(FLOOR(y * 1000000.0) AS BIGINT) AS yq
+  FROM ev
+),
+c AS (
+  SELECT user_id, xq, yq,
+         CAST(SUM(xq) OVER w AS BIGINT) AS sx,
+         CAST(SUM(yq) OVER w AS BIGINT) AS sy,
+         CAST(COUNT(*) OVER w AS BIGINT) AS cn
+  FROM q
+  WINDOW w AS (PARTITION BY user_id)
+),
+d AS (
+  SELECT user_id,
+         CAST(FLOOR(((CAST(xq AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(cn AS DOUBLE))
+                 * (CAST(xq AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(cn AS DOUBLE))
+                 + (CAST(yq AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(cn AS DOUBLE))
+                 * (CAST(yq AS DOUBLE) - CAST(sy AS DOUBLE) / CAST(cn AS DOUBLE)))
+                / 1000000.0) AS BIGINT) AS dev
+  FROM c
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       SQRT(CAST(SUM(dev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS rg_micro
+FROM d GROUP BY user_id"""
+
+
+def colocation_pairs(
+    events: DataFrame,
+    res: float,
+    bucket_us: int,
+    id_col: str = "user_id",
+    us_col: str = "us",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """(user_a, user_b, n_slots): pairs of users observed in the SAME
+    (time bucket, tile) slot, with the number of distinct shared slots —
+    proximity / contact analytics (user_a < user_b; a user pair sharing a
+    slot through many events still counts that slot once).
+
+    Plan: distinct (user, bucket, cell) visits — the one event-volume
+    shuffle, with multiplicity collapsed BEFORE the join so a user's
+    repeated pings in a slot can't square the pair volume — then a
+    slot-keyed self-join emitting ordered pairs and a pair-keyed count.
+    Hot slots (stadium effect) are the quadratic hazard: at scale cap or
+    salt per-slot membership (the measured hot-cell salting pattern);
+    unfiltered here because slot populations are data-bounded at gate
+    scale.
+    """
+    b = F.expr(f"CAST({us_col} AS BIGINT) DIV {int(bucket_us)}")
+    visits = (
+        events.select(
+            F.col(id_col).alias("u"),
+            b.alias("tb"),
+            cell_id(x, y, res).alias("cell"),
+        )
+        .distinct()
+    )
+    a = visits.select(F.col("u").alias("user_a"), "tb", "cell")
+    bb = visits.select(F.col("u").alias("user_b"), "tb", "cell")
+    pairs = a.join(bb, ["tb", "cell"]).where(F.col("user_a") < F.col("user_b"))
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_slots")
+    )
+
+
+# {ev_cte}: CTE body yielding (user_id, us, x, y).
+COLOCATION_ORACLE_SQL_TEMPLATE = """WITH ev AS ({ev_cte}),
+v AS (
+  SELECT DISTINCT user_id AS u, us // {bucket_us} AS tb, {cell_sql} AS cell
+  FROM ev
+)
+SELECT a.u AS user_a, b.u AS user_b, CAST(COUNT(*) AS BIGINT) AS n_slots
+FROM v a JOIN v b ON a.tb = b.tb AND a.cell = b.cell AND a.u < b.u
+GROUP BY 1, 2"""

@@ -3000,6 +3000,113 @@ def st_hotspots_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return st_hotspots(ev, TILE_RES, _DAY_US)
 
 
+# --- mobility analytics family ------------------------------------------------
+
+from parallelcovertree_spark.operators.hotspot import (  # noqa: E402
+    cell_anomaly_oracle_sql,
+    cell_daily_anomaly,
+)
+from parallelcovertree_spark.operators.mobility import (  # noqa: E402
+    COLOCATION_ORACLE_SQL_TEMPLATE,
+    HOME_CELL_ORACLE_SQL_TEMPLATE,
+    RADIUS_GYRATION_ORACLE_SQL_TEMPLATE,
+    colocation_pairs,
+    home_cell,
+    radius_of_gyration,
+)
+
+_EV_XY_CTE = (
+    "SELECT user_id, "
+    f"{geo.X_SQL.format(id='event_id')} AS x, "
+    f"{geo.Y_SQL.format(id='event_id')} AS y FROM events"
+)
+_EV_US_XY_CTE = (
+    "SELECT user_id, EPOCH_US(ts) AS us, "
+    f"{geo.X_SQL.format(id='event_id')} AS x, "
+    f"{geo.Y_SQL.format(id='event_id')} AS y FROM events"
+)
+
+
+def _xy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        geo.x_col("event_id").alias("x"),
+        geo.y_col("event_id").alias("y"),
+    )
+
+
+@_register(
+    "home_cells",
+    HOME_CELL_ORACLE_SQL_TEMPLATE.format(
+        ev_cte=_EV_XY_CTE, cell_sql=cell_id_sql("x", "y", TILE_RES)
+    ),
+)
+def home_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal tile per user (home-location inference): one (user, cell)
+    count shuffle, then modal pick + per-user total on ONE reused window
+    exchange over the small count table
+    (operators/mobility.py::home_cell)."""
+    return home_cell(_xy_events(spark, sf_dir), TILE_RES)
+
+
+@_register(
+    "radius_of_gyration",
+    RADIUS_GYRATION_ORACLE_SQL_TEMPLATE.format(ev_cte=_EV_XY_CTE),
+)
+def radius_of_gyration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMS distance of each user's events from their own centroid — the
+    standard mobility-range metric. Micro-quantized integer coordinate
+    sums → exact centroid division → re-quantized deviations → exact sum;
+    the RMS is sqrt of one division (operators/mobility.py)."""
+    return radius_of_gyration(_xy_events(spark, sf_dir))
+
+
+_COLO_BUCKET_US = 21_600_000_000  # 6-hour proximity slots
+
+
+@_register(
+    "colocation_pairs",
+    COLOCATION_ORACLE_SQL_TEMPLATE.format(
+        ev_cte=_EV_US_XY_CTE,
+        bucket_us=_COLO_BUCKET_US,
+        cell_sql=cell_id_sql("x", "y", TILE_RES),
+    ),
+)
+def colocation_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User pairs sharing (6-hour bucket, tile) slots with distinct-slot
+    counts — proximity analytics. Visit multiplicity collapsed BEFORE the
+    slot self-join (operators/mobility.py::colocation_pairs)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr(NTZ_EPOCH_US.format(ts="ts")).alias("us"),
+        geo.x_col("event_id").alias("x"),
+        geo.y_col("event_id").alias("y"),
+    )
+    return colocation_pairs(ev, TILE_RES, _COLO_BUCKET_US)
+
+
+@_register(
+    "cell_daily_anomaly",
+    cell_anomaly_oracle_sql(
+        f"SELECT EPOCH_US(ts) AS us, {geo.X_SQL.format(id='event_id')} AS x, "
+        f"{geo.Y_SQL.format(id='event_id')} AS y FROM events",
+        TILE_RES,
+        _DAY_US,
+    ),
+)
+def cell_daily_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile temporal anomaly: each day's count z-scored against the
+    tile's OWN observed-day history — the per-cell complement of the
+    global-baseline st_hotspots gate (operators/hotspot.py::
+    cell_daily_anomaly)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr(NTZ_EPOCH_US.format(ts="ts")).alias("us"),
+        geo.x_col("event_id").alias("x"),
+        geo.y_col("event_id").alias("y"),
+    )
+    return cell_daily_anomaly(ev, TILE_RES, _DAY_US)
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

@@ -166,6 +166,75 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return verts.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """(id, deg, n_triangles, lcc) per vertex with degree ≥ 2: the local
+    clustering coefficient lcc = 2·T(v) / (deg(v)·(deg(v)−1)) — how close a
+    vertex's neighborhood is to a clique (community tightness / link-farm
+    signature on a web graph; Watts & Strogatz 1998).
+
+    Composes :func:`triangle_counts` (degree-oriented wedge plan) with the
+    degree aggregate over the same canonical undirected edge set; vertices
+    with no triangles get T = 0 via a left join; ``lcc`` is one IEEE
+    division of exact BIGINT products.
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(und.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    j = deg.where(F.col("deg") >= 2).join(tri, "id", "left")
+    t = F.coalesce(F.col("n_triangles"), F.lit(0).cast("long"))
+    return j.select(
+        "id",
+        "deg",
+        t.alias("n_triangles"),
+        (
+            (F.lit(2).cast("long") * t).cast("double")
+            / (F.col("deg") * (F.col("deg") - F.lit(1).cast("long"))).cast("double")
+        ).alias("lcc"),
+    )
+
+
+def clustering_coeff_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of :func:`clustering_coefficients` — by-definition
+    triangle triples + degree counts over the canonical edge set, identical
+    COALESCE and division tree."""
+    return f"""WITH e0 AS ({edges_sql}),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+deg AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+  GROUP BY id
+),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+v AS (SELECT unnest([x, y, z]) AS id FROM t),
+tc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM v GROUP BY id)
+SELECT deg.id, deg.deg,
+       CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(2 * COALESCE(tc.n_triangles, 0) AS DOUBLE)
+         / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) AS lcc
+FROM deg LEFT JOIN tc ON deg.id = tc.id
+WHERE deg.deg >= 2"""
+
+
 def triangle_counts_oracle_sql(edges_sql: str) -> str:
     """DuckDB twin of :func:`triangle_counts` — by-definition canonical
     (a < b < c) triple join over the undirected edge set; per-vertex counts
@@ -192,4 +261,6 @@ __all__ = [
     "pagerank_oracle_sql",
     "triangle_counts",
     "triangle_counts_oracle_sql",
+    "clustering_coefficients",
+    "clustering_coeff_oracle_sql",
 ]

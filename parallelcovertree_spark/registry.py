@@ -3107,6 +3107,57 @@ def cell_daily_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cell_daily_anomaly(ev, TILE_RES, _DAY_US)
 
 
+from parallelcovertree_spark.operators.graph import (  # noqa: E402
+    clustering_coeff_oracle_sql,
+    clustering_coefficients,
+)
+
+
+@_register(
+    "clustering_coeff_docs",
+    f"{_PTS_CTE}\n"
+    + clustering_coeff_oracle_sql(_TRI_EDGES_SQL).replace("WITH ", ", ", 1),
+)
+def clustering_coeff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per ε-graph vertex (2T/deg(deg−1)) —
+    neighborhood-clique tightness, the per-vertex community/link-farm
+    signature. Composes the degree-oriented triangle plan with the degree
+    aggregate; one IEEE division of exact BIGINTs
+    (operators/graph.py::clustering_coefficients)."""
+    from parallelcovertree_spark.operators.epsilon_join import epsilon_self_join
+
+    edges = epsilon_self_join(
+        _doc_points(spark, sf_dir), EPS_RADIUS, id_col="id", include_self=False
+    )
+    return clustering_coefficients(edges)
+
+
+@_register(
+    "reverse_knn_counts",
+    f"""{_PTS_CTE},
+d AS (
+  SELECT a.id AS src, b.id AS dst,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a, pts b WHERE a.id <> b.id
+),
+r AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, dst) AS rk FROM d)
+SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS n_referrers
+FROM r WHERE rk <= {KNN_K} GROUP BY dst
+""",
+)
+def reverse_knn_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse-kNN influence counts: for each document, how many OTHER
+    documents rank it among their k=10 nearest — the spatial hub/influence
+    metric (RkNN cardinality). One groupBy over the certified block-kernel
+    kNN output; oracle is the by-definition ranked quadratic."""
+    from parallelcovertree_spark.operators.knn import knn_join_block_kernel
+
+    nn = knn_join_block_kernel(_doc_points(spark, sf_dir), k=KNN_K, id_col="id")
+    return nn.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_referrers")
+    )
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

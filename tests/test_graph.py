@@ -93,3 +93,42 @@ def test_triangles_match_python_twin_on_skewed_graph(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == _triangles_py(edges)
+
+
+def test_clustering_coefficients_k4_and_path(spark):
+    from parallelcovertree_spark.operators.graph import clustering_coefficients
+
+    # K4 (every vertex: deg 3, T 3, lcc 1.0) + path 4-5-6 (deg-2 middle,
+    # no triangle, lcc 0; endpoints deg 1 → excluded)
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: (r["deg"], r["n_triangles"], r["lcc"]) for r in
+           clustering_coefficients(df).collect()}
+    assert got == {
+        0: (3, 3, 1.0), 1: (3, 3, 1.0), 2: (3, 3, 1.0), 3: (3, 3, 1.0),
+        5: (2, 0, 0.0),
+    }
+
+
+def test_clustering_coefficients_match_twin(spark):
+    import numpy as np
+
+    from parallelcovertree_spark.operators.graph import clustering_coefficients
+
+    rng = np.random.default_rng(41)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 30, (150, 2)) if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    tri = _triangles_py(edges)
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    got = {r["id"]: (r["deg"], r["n_triangles"], r["lcc"]) for r in
+           clustering_coefficients(df).collect()}
+    want = {
+        v: (d, tri.get(v, 0), 2 * tri.get(v, 0) / (d * (d - 1)))
+        for v, d in deg.items()
+        if d >= 2
+    }
+    assert got == want

@@ -78,6 +78,8 @@ QUADRATIC_ORACLES = {
     # join ~hundreds of millions of rows; the engine's oriented plan is the
     # scalable one but shares the gate's corpus only at sf0.01
     "triangle_counts_docs",
+    "clustering_coeff_docs",  # same quadratic-edge triple-join oracle
+    "reverse_knn_counts",  # same O(n²) ranked-pair oracle as knn_docs
     "ann_cosine_topk",
     # exact high-dim kNN: the SPARK side is the scalable hub-routed plan,
     # but the oracle is the by-definition O(n²·dim) flat self-join

@@ -221,6 +221,159 @@ def ivf_topk(
     )
 
 
+# --- product quantization (PQ) ----------------------------------------------
+
+
+def _subvectors(
+    emb: DataFrame, m_sub: int, sub_dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vid, sub, qs): quantized sub_dim-slice per subspace (0-based sub)."""
+    q = emb.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("qv"))
+    return q.select(
+        "vid",
+        F.explode(F.array(*[F.lit(s) for s in range(m_sub)])).alias("sub"),
+        "qv",
+    ).select(
+        "vid",
+        "sub",
+        F.slice(
+            F.col("qv"), F.col("sub") * F.lit(sub_dim) + F.lit(1), F.lit(sub_dim)
+        ).alias("qs"),
+    )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011): an independent
+    Lloyd-trained ``n_codes``-entry codebook PER SUBSPACE →
+    (sub, cid, qc array<long>[sub_dim]).
+
+    Same integer-exact training discipline as :func:`kmeans_codebook`
+    (init = first vectors, FLOOR(sum/count) means, ties → lowest cid,
+    empty clusters keep previous centroids), keyed additionally by ``sub``
+    so all M codebooks train in the same dataflow. Per-iteration shuffles
+    are (m_sub · n_codes · sub_dim) rows — nothing at any corpus scale;
+    the final codebook collapses to literal rows for broadcast."""
+    spark = emb.sparkSession
+    subs = _subvectors(emb, m_sub, sub_dim, id_col, vec_col)
+    cents = subs.where(F.col("vid") < n_codes).select(
+        "sub", F.col("vid").alias("cid"), F.col("qs").alias("qc")
+    )
+    for _ in range(iters):
+        w = Window.partitionBy("vid", "sub").orderBy(
+            F.col("d2").asc(), F.col("cid").asc()
+        )
+        asg = (
+            subs.join(F.broadcast(cents), "sub")
+            .withColumn("d2", l2_q(F.col("qs"), F.col("qc")))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vid", "sub", "cid")
+        )
+        flat = asg.join(subs, ["vid", "sub"]).select(
+            "sub", "cid", F.posexplode("qs").alias("j", "e")
+        )
+        means = flat.groupBy("sub", "cid", "j").agg(
+            F.floor(F.sum("e").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("m")
+        )
+        packed = means.groupBy("sub", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "m"))), lambda s: s["m"]
+            ).alias("qm")
+        )
+        cents = cents.join(packed, ["sub", "cid"], "left").select(
+            "sub", "cid", F.coalesce("qm", "qc").alias("qc")
+        )
+    rows = [(int(r.sub), int(r.cid), [int(v) for v in r.qc]) for r in cents.collect()]
+    return spark.createDataFrame(rows, "sub long, cid long, qc array<long>")
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: DataFrame,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sub, code): nearest codebook entry per subspace (integer
+    L2, ties → lowest code) — the 8-byte-per-vector compressed
+    representation; one map-side pass against the broadcast codebooks."""
+    subs = _subvectors(emb, m_sub, sub_dim, id_col, vec_col)
+    w = Window.partitionBy("vid", "sub").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    return (
+        subs.join(F.broadcast(books), "sub")
+        .withColumn("d2", l2_q(F.col("qs"), F.col("qc")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("vid").alias(id_col), "sub", F.col("cid").alias("code"))
+    )
+
+
+def pq_topk_adc(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 50,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: queries keep full precision,
+    candidates are their PQ codes; distance ≈ Σ_sub table[sub][code] with
+    per-query lookup tables → (src, nbr_rank, dst, adc_d2).
+
+    Every distance is an exact BIGINT (quantized integer L2 partials), so
+    ranks are bit-identical cross-engine and the oracle replays training,
+    encoding, tables and ADC end to end.
+
+    Scale shape: tables are (queries · m_sub · n_codes) rows; the ADC join
+    is a hash equi-join on (sub, code) costing queries × n × m_sub lookup
+    rows — PQ's actual compute shape. In production this sits BEHIND an
+    IVF probe (ivf_topk) so n is the probed fraction, and codes/tables are
+    array-packed per entity; the row-form here keeps every step
+    SQL-checkable."""
+    books = pq_codebooks(emb, m_sub, sub_dim, n_codes, iters, id_col, vec_col)
+    codes = pq_encode(emb, books, m_sub, sub_dim, id_col, vec_col).select(
+        F.col(id_col).alias("dst"), "sub", "code"
+    )
+    qsubs = _subvectors(emb, m_sub, sub_dim, id_col, vec_col).where(
+        F.col("vid") < n_queries
+    )
+    tables = (
+        qsubs.join(F.broadcast(books), "sub")
+        .select(
+            F.col("vid").alias("src"),
+            "sub",
+            F.col("cid").alias("code"),
+            l2_q(F.col("qs"), F.col("qc")).alias("td"),
+        )
+    )
+    adc = (
+        codes.join(tables, ["sub", "code"])
+        .where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("td").alias("adc_d2"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("adc_d2").asc(), F.col("dst").asc())
+    return (
+        adc.withColumn("nbr_rank", F.row_number().over(w))
+        .where(F.col("nbr_rank") <= k)
+        .select("src", "nbr_rank", "dst", "adc_d2")
+    )
+
+
 def lsh_neardup(
     emb: DataFrame, tau: float, dim: int = 64, planes: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",

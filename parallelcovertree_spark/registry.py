@@ -3158,6 +3158,130 @@ def reverse_knn_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- product quantization -----------------------------------------------------
+
+# 64 codes × 2 Lloyd rounds: recall@10 0.392 vs exact L2 on the synthetic
+# UNCLUSTERED 64-dim embeddings (numpy sweep: 16/1→0.264, 64/2→0.392,
+# 128/2→0.444 — iid-random data is PQ's documented worst case; clustered
+# real corpora do far better at the same code budget). Pinned in
+# tests/test_pq.py with margin.
+_PQ_M, _PQ_SD, _PQ_CODES, _PQ_ITERS, _PQ_NQ = 8, 8, 64, 2, 50
+
+
+def _pq_cte(n_codes: int, iters: int, sub_dim: int) -> tuple[str, str]:
+    """PQ oracle: per-subspace Lloyd training UNROLLED as CTEs (the
+    _ivf_cte recipe keyed additionally by sub), then the encoding of every
+    vector against the final codebooks. Returns (cte_sql, final_codebook
+    CTE name). Mirrors operators/simsearch.pq_codebooks/pq_encode."""
+    parts = [
+        f"sflat AS (SELECT vec_id, (i - 1) // {sub_dim} AS sub, "
+        f"(i - 1) % {sub_dim} AS j, e FROM flat)",
+        f"pcb0 AS (SELECT sub, vec_id AS cid, j, e AS ce FROM sflat "
+        f"WHERE vec_id < {n_codes})",
+    ]
+    prev = "pcb0"
+    for t in range(iters):
+        parts.append(
+            f"pa{t} AS (\n"
+            f"  SELECT f.vec_id, f.sub, c.cid, SUM((f.e - c.ce) * (f.e - c.ce)) AS d2\n"
+            f"  FROM sflat f JOIN {prev} c ON c.sub = f.sub AND c.j = f.j\n"
+            f"  GROUP BY 1, 2, 3\n)"
+        )
+        parts.append(
+            f"pr{t} AS (\n"
+            f"  SELECT vec_id, sub, cid,\n"
+            f"         ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn\n"
+            f"  FROM pa{t}\n)"
+        )
+        parts.append(f"pasg{t} AS (SELECT vec_id, sub, cid FROM pr{t} WHERE rn = 1)")
+        parts.append(
+            f"pm{t} AS (\n"
+            f"  SELECT a.sub, a.cid, f.j,\n"
+            f"         CAST(FLOOR(CAST(SUM(f.e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ce\n"
+            f"  FROM pasg{t} a JOIN sflat f ON f.vec_id = a.vec_id AND f.sub = a.sub\n"
+            f"  GROUP BY 1, 2, 3\n)"
+        )
+        parts.append(
+            f"pcb{t + 1} AS (\n"
+            f"  SELECT c0.sub, c0.cid, c0.j, COALESCE(m.ce, c0.ce) AS ce\n"
+            f"  FROM {prev} c0 LEFT JOIN pm{t} m\n"
+            f"    ON m.sub = c0.sub AND m.cid = c0.cid AND m.j = c0.j\n)"
+        )
+        prev = f"pcb{t + 1}"
+    parts.append(
+        f"pe AS (\n"
+        f"  SELECT f.vec_id, f.sub, c.cid, SUM((f.e - c.ce) * (f.e - c.ce)) AS d2\n"
+        f"  FROM sflat f JOIN {prev} c ON c.sub = f.sub AND c.j = f.j\n"
+        f"  GROUP BY 1, 2, 3\n)"
+    )
+    parts.append(
+        "per AS (\n"
+        "  SELECT vec_id, sub, cid,\n"
+        "         ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn\n"
+        "  FROM pe\n)"
+    )
+    parts.append("pcodes AS (SELECT vec_id, sub, cid AS code FROM per WHERE rn = 1)")
+    return ",\n".join(parts), prev
+
+
+_PQ_CTE, _PQ_FINAL = _pq_cte(_PQ_CODES, _PQ_ITERS, _PQ_SD)
+
+
+@_register(
+    "pq_codes",
+    f"""{_Q_CTE},
+{_PQ_CTE}
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, code FROM pcodes
+""",
+)
+def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: per-subspace Lloyd codebooks (8
+    subspaces × 16 codes, integer-exact training the oracle replays
+    bit-for-bit) and each vector's nearest code per subspace — the
+    compressed representation behind billion-scale ANN
+    (operators/simsearch.py::pq_codebooks/pq_encode)."""
+    from parallelcovertree_spark.operators.simsearch import pq_codebooks, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_codebooks(emb, _PQ_M, _PQ_SD, _PQ_CODES, _PQ_ITERS)
+    return pq_encode(emb, books, _PQ_M, _PQ_SD)
+
+
+@_register(
+    "pq_topk_adc",
+    f"""{_Q_CTE},
+{_PQ_CTE},
+qt AS (
+  SELECT f.vec_id AS src, f.sub, c.cid AS code,
+         SUM((f.e - c.ce) * (f.e - c.ce)) AS td
+  FROM sflat f JOIN {_PQ_FINAL} c ON c.sub = f.sub AND c.j = f.j
+  WHERE f.vec_id < {_PQ_NQ} GROUP BY 1, 2, 3
+),
+adc AS (
+  SELECT qt.src, pcodes.vec_id AS dst, CAST(SUM(qt.td) AS BIGINT) AS adc_d2
+  FROM pcodes JOIN qt ON qt.sub = pcodes.sub AND qt.code = pcodes.code
+  WHERE qt.src <> pcodes.vec_id GROUP BY 1, 2
+),
+prk AS (
+  SELECT src, dst, adc_d2,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY adc_d2, dst) AS rk
+  FROM adc
+)
+SELECT src, rk AS nbr_rank, dst, adc_d2 FROM prk WHERE rk <= {KNN_K}
+""",
+)
+def pq_topk_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: per-query lookup tables against the
+    trained codebooks, candidate distances = Σ_sub table[code] (exact
+    BIGINTs ⇒ cross-engine-identical ranks). The ADC equi-join on
+    (sub, code) is PQ's real compute shape; production nests it behind an
+    IVF probe (operators/simsearch.py::pq_topk_adc)."""
+    from parallelcovertree_spark.operators.simsearch import pq_topk_adc
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_topk_adc(emb, KNN_K, _PQ_NQ, _PQ_M, _PQ_SD, _PQ_CODES, _PQ_ITERS)
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

@@ -374,6 +374,78 @@ def pq_topk_adc(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    k: int = 10,
+    n_queries: int = 50,
+    n_centroids: int = 16,
+    ivf_iters: int = 1,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    pq_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production billion-scale ANN shape — an IVF coarse
+    probe restricts candidates to the ``nprobe`` nearest inverted lists,
+    then PQ asymmetric distance ranks them from 8-byte codes →
+    (src, nbr_rank, dst, adc_d2).
+
+    This is the non-residual ("IVF-Flat-PQ") variant: PQ codes are
+    trained/encoded on the raw vectors, not per-list residuals — the
+    residual refinement changes constants, not dataflow shape, and raw
+    codes keep every step integer-exact and oracle-replayable.
+
+    Cost: candidates = queries · nprobe/n_centroids · n (vs · n for plain
+    ADC); each costs m_sub lookup-join rows. Both stages reuse the exact
+    trained artifacts of :func:`ivf_topk` / :func:`pq_topk_adc`.
+    """
+    cents = kmeans_codebook(emb, n_centroids, ivf_iters, id_col, vec_col)
+    books = pq_codebooks(emb, m_sub, sub_dim, n_codes, pq_iters, id_col, vec_col)
+    codes = pq_encode(emb, books, m_sub, sub_dim, id_col, vec_col).select(
+        F.col(id_col).alias("dst"), "sub", "code"
+    )
+    q = emb.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("qv"))
+    wprobe = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("cid").asc())
+    coarse = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", l2_q(F.col("qv"), F.col("qc")))
+        .withColumn("rn", F.row_number().over(wprobe))
+    )
+    assign = coarse.where(F.col("rn") == 1).select(
+        F.col("vid").alias("dst"), F.col("cid").alias("centroid_id")
+    )
+    probes = coarse.where(
+        (F.col("rn") <= nprobe) & (F.col("vid") < n_queries)
+    ).select(F.col("vid").alias("src"), F.col("cid").alias("centroid_id"))
+    cand = probes.join(assign, "centroid_id").where(
+        F.col("src") != F.col("dst")
+    ).select("src", "dst")
+    qsubs = _subvectors(emb, m_sub, sub_dim, id_col, vec_col).where(
+        F.col("vid") < n_queries
+    )
+    tables = qsubs.join(F.broadcast(books), "sub").select(
+        F.col("vid").alias("src"),
+        "sub",
+        F.col("cid").alias("code"),
+        l2_q(F.col("qs"), F.col("qc")).alias("td"),
+    )
+    adc = (
+        cand.join(codes, "dst")
+        .join(tables, ["src", "sub", "code"])
+        .groupBy("src", "dst")
+        .agg(F.sum("td").alias("adc_d2"))
+    )
+    w = Window.partitionBy("src").orderBy(F.col("adc_d2").asc(), F.col("dst").asc())
+    return (
+        adc.withColumn("nbr_rank", F.row_number().over(w))
+        .where(F.col("nbr_rank") <= k)
+        .select("src", "nbr_rank", "dst", "adc_d2")
+    )
+
+
 def lsh_neardup(
     emb: DataFrame, tau: float, dim: int = 64, planes: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -3282,6 +3282,57 @@ def pq_topk_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_adc(emb, KNN_K, _PQ_NQ, _PQ_M, _PQ_SD, _PQ_CODES, _PQ_ITERS)
 
 
+_IVFPQ_NPROBE = 8
+
+
+@_register(
+    "ivfpq_topk",
+    f"""{_Q_CTE},
+{_IVF_CTE},
+{_PQ_CTE},
+cand AS (
+  SELECT p.vec_id AS src, a.vec_id AS dst
+  FROM (SELECT vec_id, cid FROM ranked
+        WHERE rn <= {_IVFPQ_NPROBE} AND vec_id < {_PQ_NQ}) p
+  JOIN (SELECT vec_id, cid FROM ranked WHERE rn = 1) a ON a.cid = p.cid
+  WHERE p.vec_id <> a.vec_id
+),
+qt AS (
+  SELECT f.vec_id AS src, f.sub, c.cid AS code,
+         SUM((f.e - c.ce) * (f.e - c.ce)) AS td
+  FROM sflat f JOIN {_PQ_FINAL} c ON c.sub = f.sub AND c.j = f.j
+  WHERE f.vec_id < {_PQ_NQ} GROUP BY 1, 2, 3
+),
+iadc AS (
+  SELECT cd.src, cd.dst, CAST(SUM(qt.td) AS BIGINT) AS adc_d2
+  FROM cand cd
+  JOIN pcodes pc ON pc.vec_id = cd.dst
+  JOIN qt ON qt.src = cd.src AND qt.sub = pc.sub AND qt.code = pc.code
+  GROUP BY 1, 2
+),
+irk AS (
+  SELECT src, dst, adc_d2,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY adc_d2, dst) AS rk
+  FROM iadc
+)
+SELECT src, rk AS nbr_rank, dst, adc_d2 FROM irk WHERE rk <= {KNN_K}
+""",
+)
+def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: coarse probe (the gate IVF codebook, nprobe=8/32 lists)
+    restricting candidates, then PQ asymmetric distance from 8-byte codes
+    — the production billion-scale ANN composition. Both trained artifacts
+    replayed integer-exactly by the oracle
+    (operators/simsearch.py::ivfpq_topk)."""
+    from parallelcovertree_spark.operators.simsearch import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivfpq_topk(
+        emb, KNN_K, _PQ_NQ, _IVF_C, _IVF_ITERS, _IVFPQ_NPROBE,
+        _PQ_M, _PQ_SD, _PQ_CODES, _PQ_ITERS,
+    )
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

@@ -32,6 +32,8 @@ __all__ = [
     "TRAJECTORY_ORACLE_SQL_TEMPLATE",
     "od_flows",
     "OD_FLOWS_ORACLE_SQL_TEMPLATE",
+    "stay_points",
+    "STAY_POINTS_ORACLE_SQL_TEMPLATE",
 ]
 
 _MICRO = 1_000_000.0
@@ -135,6 +137,106 @@ def od_flows(
         F.count(F.lit(1)).alias("n_trips"),
         F.countDistinct(id_col).alias("n_users"),
     )
+
+
+def stay_points(
+    events: DataFrame,
+    radius: float,
+    min_events: int = 2,
+    id_col: str = "user_id",
+    us_col: str = "us",
+    seq_col: str = "event_id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Stay-point detection (Li et al. 2008): maximal runs of a user's
+    consecutive events (epoch-us + ``seq_col`` order) whose every hop is
+    ≤ ``radius``; runs shorter than ``min_events`` are dropped. Output per
+    stay: (user_id, seg, n_events, start_us, end_us, dwell_us, cx_micro,
+    cy_micro) — ``seg`` the 0-based stay ordinal among the user's KEPT
+    stays, centroid as exact micro-unit integer means (one division each).
+
+    Parity: the break predicate is the exact double compare d² > r²; the
+    segment id is a cumulative sum of integer break flags; everything
+    aggregated is an exact BIGINT. Plan: ONE user-keyed window shuffle
+    computes lag deltas AND the running break count (same window frame);
+    the (user, seg) aggregate and the kept-ordinal window reuse the hash
+    partitioning.
+    """
+    w = Window.partitionBy(id_col).orderBy(F.asc(us_col), F.asc(seq_col))
+    xs, ys = F.col(x).cast("double"), F.col(y).cast("double")
+    dx = xs - F.lag(xs).over(w)
+    dy = ys - F.lag(ys).over(w)
+    brk = F.when(
+        dx.isNull() | (dx * dx + dy * dy > F.lit(float(radius) ** 2)), 1
+    ).otherwise(0)
+    seg0 = events.select(
+        F.col(id_col),
+        F.col(us_col).cast("long").alias("_us"),
+        F.floor(xs * F.lit(_MICRO)).cast("long").alias("_xq"),
+        F.floor(ys * F.lit(_MICRO)).cast("long").alias("_yq"),
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_seg"),
+    )
+    agg = seg0.groupBy(id_col, "_seg").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("_us").alias("start_us"),
+        F.max("_us").alias("end_us"),
+        F.sum("_xq").alias("_sx"),
+        F.sum("_yq").alias("_sy"),
+    )
+    kept = agg.where(F.col("n_events") >= F.lit(int(min_events)))
+    ord_w = Window.partitionBy(id_col).orderBy(F.asc("_seg"))
+    return kept.select(
+        F.col(id_col),
+        (F.row_number().over(ord_w) - F.lit(1)).alias("seg"),
+        "n_events",
+        "start_us",
+        "end_us",
+        (F.col("end_us") - F.col("start_us")).alias("dwell_us"),
+        (F.col("_sx").cast("double") / F.col("n_events").cast("double")).alias(
+            "cx_micro"
+        ),
+        (F.col("_sy").cast("double") / F.col("n_events").cast("double")).alias(
+            "cy_micro"
+        ),
+    )
+
+
+# {pts_cte}: CTE body yielding (user_id, us, event_id, x, y).
+STAY_POINTS_ORACLE_SQL_TEMPLATE = """WITH ev AS ({pts_cte}),
+s AS (
+  SELECT user_id, us, event_id, x, y,
+         CASE WHEN LAG(x) OVER w IS NULL
+                OR (x - LAG(x) OVER w) * (x - LAG(x) OVER w)
+                   + (y - LAG(y) OVER w) * (y - LAG(y) OVER w) > {r2}
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+g AS (
+  SELECT user_id, us,
+         CAST(FLOOR(x * 1000000.0) AS BIGINT) AS xq,
+         CAST(FLOOR(y * 1000000.0) AS BIGINT) AS yq,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS seg
+  FROM s
+),
+a AS (
+  SELECT user_id, seg, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us,
+         CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy
+  FROM g GROUP BY 1, 2
+),
+k AS (SELECT * FROM a WHERE n_events >= {min_events})
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seg) - 1 AS BIGINT) AS seg,
+       n_events, start_us, end_us,
+       CAST(end_us - start_us AS BIGINT) AS dwell_us,
+       CAST(sx AS DOUBLE) / CAST(n_events AS DOUBLE) AS cx_micro,
+       CAST(sy AS DOUBLE) / CAST(n_events AS DOUBLE) AS cy_micro
+FROM k"""
 
 
 # {pts_cte}: CTE body yielding (user_id, ts, event_id, x, y);

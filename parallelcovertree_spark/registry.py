@@ -3333,6 +3333,41 @@ def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from parallelcovertree_spark.operators.trajectory import (  # noqa: E402
+    STAY_POINTS_ORACLE_SQL_TEMPLATE,
+    stay_points,
+)
+
+_STAY_RADIUS, _STAY_MIN = 5.0, 2
+
+
+@_register(
+    "stay_points",
+    STAY_POINTS_ORACLE_SQL_TEMPLATE.format(
+        pts_cte=(
+            "SELECT user_id, EPOCH_US(ts) AS us, event_id, "
+            f"{geo.X_SQL.format(id='event_id')} AS x, "
+            f"{geo.Y_SQL.format(id='event_id')} AS y FROM events"
+        ),
+        r2=repr(_STAY_RADIUS**2),
+        min_events=_STAY_MIN,
+    ),
+)
+def stay_points_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point detection: maximal consecutive-event runs with every hop
+    ≤ 5 units, ≥ 2 events — trajectory segmentation (Li et al. 2008). One
+    user-window shuffle (lag deltas + running break count in one frame);
+    exact micro-unit centroids (operators/trajectory.py::stay_points)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr(NTZ_EPOCH_US.format(ts="ts")).alias("us"),
+        "event_id",
+        geo.x_col("event_id").alias("x"),
+        geo.y_col("event_id").alias("y"),
+    )
+    return stay_points(ev, _STAY_RADIUS, _STAY_MIN)
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

@@ -113,3 +113,38 @@ def test_cell_daily_anomaly_observed_baseline(spark):
     assert by_day[2]["anomaly_z"] == pytest.approx((8 - mu) / math.sqrt(var), rel=1e-12)
     assert by_day[0]["anomaly_z"] < 0 and by_day[1]["anomaly_z"] < 0
     assert all(r["n_buckets"] == 3 and r["mean_n"] == mu for r in out)
+
+
+def test_stay_points_hand_computed(spark):
+    from parallelcovertree_spark.operators.trajectory import stay_points
+
+    # user 1: stay A (3 pts within r=1), jump, stay B (2 pts), jump, lone pt
+    rows = [
+        (1, 1000, 10, 0.0, 0.0),
+        (1, 2000, 11, 0.5, 0.0),
+        (1, 3000, 12, 0.5, 0.4),
+        (1, 4000, 13, 10.0, 10.0),   # jump → new segment
+        (1, 5000, 14, 10.2, 10.0),
+        (1, 6000, 15, -20.0, 5.0),   # jump → lone point, dropped (n<2)
+        # user 2: single event only → no stays
+        (2, 1000, 20, 3.0, 3.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, us long, event_id long, x double, y double")
+    got = {(r.user_id, r.seg): r for r in stay_points(ev, 1.0, 2).collect()}
+    assert set(got) == {(1, 0), (1, 1)}
+    a, b = got[(1, 0)], got[(1, 1)]
+    assert (a.n_events, a.start_us, a.end_us, a.dwell_us) == (3, 1000, 3000, 2000)
+    assert a.cx_micro == pytest.approx((0 + 500000 + 500000) / 3)
+    assert a.cy_micro == pytest.approx((0 + 0 + 400000) / 3)
+    assert (b.n_events, b.dwell_us) == (2, 1000)
+
+
+def test_stay_points_break_is_hop_not_diameter(spark):
+    from parallelcovertree_spark.operators.trajectory import stay_points
+
+    # drifting chain: every hop 0.9 (< r=1) but total span 3.6 — the
+    # Li et al. hop criterion keeps ONE segment (documents the semantics)
+    rows = [(1, i * 1000, i, 0.9 * i, 0.0) for i in range(5)]
+    ev = spark.createDataFrame(rows, "user_id long, us long, event_id long, x double, y double")
+    out = stay_points(ev, 1.0, 2).collect()
+    assert len(out) == 1 and out[0].n_events == 5

@@ -66,6 +66,90 @@ class SnapshotTable:
         with open(self._manifest_path(snapshot_id)) as f:
             return json.load(f)
 
+    # --- branches (write-audit-publish) ---------------------------------------
+    #
+    # Iceberg-style named refs: refs.json maps branch name → head snapshot
+    # id (atomic rename, like manifests). Until the first branch operation
+    # the file does not exist and every read/write targets the newest
+    # manifest — the legacy single-branch behavior, untouched. Once refs
+    # exist, "main" is what readers see by default; commits staged on
+    # another branch stay invisible until publish() fast-forwards main onto
+    # them. That is the WAP (write-audit-publish) contract: stage → audit
+    # via read(branch=...) → publish.
+
+    def _refs_path(self) -> str:
+        return f"{self.path}/refs.json"
+
+    def refs(self) -> dict[str, int]:
+        if not os.path.exists(self._refs_path()):
+            return {}
+        with open(self._refs_path()) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def _write_refs(self, refs: dict[str, int]) -> None:
+        tmp = self._refs_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(refs, f)
+        os.replace(tmp, self._refs_path())
+
+    def _resolve_head(self, branch: str) -> int | None:
+        refs = self.refs()
+        if branch in refs:
+            return refs[branch]
+        if branch == "main":
+            return self.latest_snapshot_id()  # legacy: newest manifest
+        raise ValueError(f"unknown branch {branch!r}")
+
+    def _ancestors(self, snapshot_id: int) -> set[int]:
+        chain, sid = set(), snapshot_id
+        while sid is not None:
+            chain.add(sid)
+            sid = self._manifest(sid).get("parent_id")
+        return chain
+
+    def create_branch(self, name: str, at: int | None = None) -> int:
+        """Create (or reset) a branch pointing at ``at`` (default: the main
+        head). Returns the branch head id."""
+        head = at if at is not None else self._resolve_head("main")
+        if head is None:
+            raise FileNotFoundError("cannot branch an empty table")
+        self._manifest(head)  # must exist
+        refs = self.refs()
+        if "main" not in refs:  # pin main explicitly once branching starts
+            main = self.latest_snapshot_id()
+            if main is not None:
+                refs["main"] = main
+        refs[name] = head
+        self._write_refs(refs)
+        return head
+
+    def drop_branch(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop main")
+        refs = self.refs()
+        refs.pop(name, None)
+        self._write_refs(refs)
+
+    def publish(self, branch: str) -> int:
+        """Fast-forward main onto ``branch`` (Iceberg fast_forward): legal
+        only when main is an ancestor of the branch head — a diverged main
+        must be resolved by re-staging, never silently overwritten. The
+        branch ref survives (drop_branch to retire it). Returns the new
+        main head."""
+        refs = self.refs()
+        if branch not in refs:
+            raise ValueError(f"unknown branch {branch!r}")
+        head = refs[branch]
+        main = self._resolve_head("main")
+        if main is not None and main not in self._ancestors(head):
+            raise ValueError(
+                f"publish({branch!r}) is not a fast-forward: main at "
+                f"{main} is not an ancestor of {head}"
+            )
+        refs["main"] = head
+        self._write_refs(refs)
+        return head
+
     def _write_manifest(self, manifest: dict) -> None:
         tmp = self._manifest_path(manifest["snapshot_id"]) + ".tmp"
         with open(tmp, "w") as f:
@@ -123,12 +207,24 @@ class SnapshotTable:
                 out[name[len(prefix):]] = f"{data_dir}/{name}"
         return out
 
+    def _advance(self, branch: str, snap_id: int) -> None:
+        """Move ``branch`` to ``snap_id`` — only when refs exist or the
+        commit targets a non-main branch (legacy tables stay refs-free)."""
+        refs = self.refs()
+        if refs or branch != "main":
+            refs[branch] = snap_id
+            self._write_refs(refs)
+
     def commit(self, df: DataFrame, partition_by: str | None = None,
-               meta: dict | None = None) -> int:
-        """Write a new immutable snapshot; returns its id. The manifest
-        rename is the atomic commit point."""
-        prev = self.latest_snapshot_id()
-        snap_id = (prev or 0) + 1
+               meta: dict | None = None, branch: str = "main") -> int:
+        """Write a new immutable snapshot on ``branch`` (default main);
+        returns its id. The manifest rename is the atomic commit point.
+        Snapshot ids are GLOBAL (max over all branches + 1); the parent is
+        the branch head."""
+        if branch != "main" and branch not in self.refs():
+            raise ValueError(f"unknown branch {branch!r} (create_branch first)")
+        prev = self._resolve_head(branch)
+        snap_id = (self.latest_snapshot_id() or 0) + 1
         data_dir = f"{self.path}/snap-{snap_id:012d}"
         self._clear_orphan(data_dir, snap_id)
         writer = df.write.mode("errorifexists")
@@ -156,13 +252,14 @@ class SnapshotTable:
             "app_meta": meta,
         }
         self._write_manifest(manifest)
+        self._advance(branch, snap_id)
         return snap_id
 
     # --- copy-on-write row-level operations -----------------------------------
 
     def merge(
         self, spark: SparkSession, updates: DataFrame, key_col: str,
-        prune: bool = True, meta: dict | None = None,
+        prune: bool = True, meta: dict | None = None, branch: str = "main",
     ) -> int:
         """Upsert ``updates`` by ``key_col`` as a new snapshot (Iceberg
         copy-on-write MERGE): matched keys are replaced, unmatched keys
@@ -172,11 +269,14 @@ class SnapshotTable:
         the partition value is a stable function of the key (the engine's
         layouts: tile-of-point, lang-of-doc) — a key that MOVES partitions
         must use ``prune=False`` (full rewrite) or its old row would survive
-        in the untouched partition."""
-        man = self._manifest(self.latest_snapshot_id())
+        in the untouched partition. ``branch`` stages the merge on a named
+        branch (the streaming-upsert WAP pattern); ids stay global."""
+        if branch != "main" and branch not in self.refs():
+            raise ValueError(f"unknown branch {branch!r} (create_branch first)")
+        man = self._manifest(self._resolve_head(branch))
         pcol = man["partition_by"]
         prev_id = man["snapshot_id"]
-        snap_id = prev_id + 1
+        snap_id = (self.latest_snapshot_id() or 0) + 1
         data_dir = f"{self.path}/snap-{snap_id:012d}"
         self._clear_orphan(data_dir, snap_id)
 
@@ -184,7 +284,7 @@ class SnapshotTable:
         # table lacks (backfilled NULL on old partitions), but must carry
         # every existing column — allowMissingColumns is symmetric, and an
         # update batch silently nulling a forgotten column is data loss
-        missing = set(self.read(spark).columns) - set(updates.columns)
+        missing = set(self.read(spark, branch=branch).columns) - set(updates.columns)
         if missing:
             raise ValueError(
                 f"merge updates are missing table columns {sorted(missing)}; "
@@ -193,7 +293,7 @@ class SnapshotTable:
             )
 
         if pcol is None or not prune or not man.get("partition_dirs"):
-            base = self.read(spark)
+            base = self.read(spark, branch=branch)
             new_data = base.join(
                 updates.select(key_col), key_col, "left_anti"
             ).unionByName(updates, allowMissingColumns=True)
@@ -245,16 +345,17 @@ class SnapshotTable:
             "total_rows": sum(lineage.values()),
             "app_meta": meta,
         })
+        self._advance(branch, snap_id)
         return snap_id
 
     def delete(self, spark: SparkSession, predicate: str) -> int:
         """Copy-on-write DELETE: drop rows matching the SQL ``predicate`` in
-        a new snapshot. Only partitions that actually contain matches are
-        rewritten; the rest are referenced from the parent."""
-        man = self._manifest(self.latest_snapshot_id())
+        a new snapshot (on main). Only partitions that actually contain
+        matches are rewritten; the rest are referenced from the parent."""
+        man = self._manifest(self._resolve_head("main"))
         pcol = man["partition_by"]
         prev_id = man["snapshot_id"]
-        snap_id = prev_id + 1
+        snap_id = (self.latest_snapshot_id() or 0) + 1
         data_dir = f"{self.path}/snap-{snap_id:012d}"
         self._clear_orphan(data_dir, snap_id)
 
@@ -281,6 +382,7 @@ class SnapshotTable:
                 "rewritten_partitions": sorted(lineage),
                 "total_rows": sum(lineage.values()),
             })
+            self._advance("main", snap_id)
             return snap_id
 
         # find partitions with matches — a pruned aggregate, O(partitions) out
@@ -293,6 +395,7 @@ class SnapshotTable:
                                   "parent_id": prev_id,
                                   "committed_at": time.time(),
                                   "rewritten_partitions": []})
+            self._advance("main", snap_id)
             return snap_id
         old = self._read_dirs(spark, [man["partition_dirs"][v] for v in touched])
         new_data = old.where(f"NOT ({predicate})")
@@ -312,6 +415,7 @@ class SnapshotTable:
             "partition_dirs": part_dirs, "rewritten_partitions": touched,
             "total_rows": sum(lineage.values()),
         })
+        self._advance("main", snap_id)
         return snap_id
 
     # --- maintenance -----------------------------------------------------------
@@ -332,7 +436,7 @@ class SnapshotTable:
         density — and sorted within files, giving later spatial/range reads
         O(1)-file locality plus row-group min/max pruning. The key column
         itself is not stored; it exists only during the rewrite."""
-        man = self._manifest(self.latest_snapshot_id())
+        man = self._manifest(self._resolve_head("main"))
         df = self.read(spark)
         if cluster_by is not None:
             key = (
@@ -359,6 +463,14 @@ class SnapshotTable:
             return []
         kept = hist[-keep_last:] if keep_last > 0 else []
         dropped = hist[:-keep_last] if keep_last > 0 else hist
+        # branch heads are pinned: a staged-but-unpublished branch must not
+        # lose its head (or the ancestors its partition_dirs reference —
+        # covered below by dir reachability over kept manifests)
+        heads = set(self.refs().values())
+        if heads:
+            pinned = [m for m in dropped if m["snapshot_id"] in heads]
+            kept = kept + pinned
+            dropped = [m for m in dropped if m["snapshot_id"] not in heads]
         reachable: set[str] = set()
         for man in kept:
             if man.get("partition_dirs"):
@@ -422,13 +534,14 @@ class SnapshotTable:
         return {str(r[0]): r.rows for r in counted}
 
     def read_partition(
-        self, spark: SparkSession, value, snapshot_id: int | None = None
+        self, spark: SparkSession, value, snapshot_id: int | None = None,
+        branch: str = "main",
     ) -> DataFrame:
         """Pruned read of ONE partition — O(1) directory resolution via the
         manifest (works across merge generations, where the partition's
         current dir may live in an ancestor snapshot). Returns an empty
         DataFrame with the table schema for an absent partition."""
-        sid = snapshot_id if snapshot_id is not None else self.latest_snapshot_id()
+        sid = snapshot_id if snapshot_id is not None else self._resolve_head(branch)
         if sid is None:
             raise FileNotFoundError(f"no snapshots in {self.path}")
         man = self._manifest(sid)
@@ -440,8 +553,14 @@ class SnapshotTable:
             return self.read(spark, sid).limit(0)
         return self._read_dirs(spark, [dirs[key]])
 
-    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
-        sid = snapshot_id if snapshot_id is not None else self.latest_snapshot_id()
+    def read(
+        self, spark: SparkSession, snapshot_id: int | None = None,
+        branch: str = "main",
+    ) -> DataFrame:
+        """Read a snapshot: explicit ``snapshot_id`` (time travel), else the
+        head of ``branch`` — main by default, which is the newest manifest
+        until branching starts and the pinned published head after."""
+        sid = snapshot_id if snapshot_id is not None else self._resolve_head(branch)
         if sid is None:
             raise FileNotFoundError(f"no snapshots in {self.path}")
         manifest = self._manifest(sid)
@@ -480,7 +599,7 @@ class SnapshotTable:
         """
         to_id = (
             to_snapshot_id if to_snapshot_id is not None
-            else self.latest_snapshot_id()
+            else self._resolve_head("main")
         )
         if to_id is None:
             raise FileNotFoundError(f"no snapshots in {self.path}")

@@ -235,6 +235,55 @@ FROM deg LEFT JOIN tc ON deg.id = tc.id
 WHERE deg.deg >= 2"""
 
 
+def bfs_layers(edges: DataFrame, sources: DataFrame, n_iter: int = 4) -> DataFrame:
+    """(id, layer): minimum hop distance from ANY source vertex, over
+    directed (src, dst) edges, capped at ``n_iter`` hops — k-hop spatial
+    reachability when fed the ε-graph (service-area / contagion-radius
+    analytics). Vertices unreachable within the cap are absent.
+
+    Pure dataflow BFS (the pagerank discipline): per round ONE frontier⋈
+    edges hash join + ONE min-aggregate on the vertex key; everything is
+    integers, so a DuckDB oracle replays the rounds as chained CTEs
+    bit-for-bit. The edge list is materialized once across rounds.
+    """
+    edges = edges.localCheckpoint()
+    dist = sources.select(F.col("id"), F.lit(0).cast("long").alias("layer"))
+    for i in range(1, n_iter + 1):
+        frontier = dist.where(F.col("layer") == i - 1)
+        nxt = frontier.join(edges, frontier["id"] == edges["src"]).select(
+            edges["dst"].alias("id"), F.lit(i).cast("long").alias("layer")
+        )
+        dist = (
+            dist.unionAll(nxt)
+            .groupBy("id")
+            .agg(F.min("layer").alias("layer"))
+            .localCheckpoint()
+        )
+    return dist
+
+
+def bfs_layers_oracle_sql(edges_sql: str, sources_sql: str, n_iter: int = 4) -> str:
+    """DuckDB twin of :func:`bfs_layers` — the same union+min rounds as
+    chained CTEs."""
+    parts = [
+        f"be AS ({edges_sql})",
+        f"d0 AS (SELECT id, CAST(0 AS BIGINT) AS layer FROM ({sources_sql}))",
+    ]
+    prev = "d0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"d{i} AS (\n"
+            f"  SELECT id, CAST(MIN(layer) AS BIGINT) AS layer FROM (\n"
+            f"    SELECT id, layer FROM {prev}\n"
+            f"    UNION ALL\n"
+            f"    SELECT be.dst AS id, CAST({i} AS BIGINT) AS layer\n"
+            f"    FROM {prev} p JOIN be ON be.src = p.id WHERE p.layer = {i - 1}\n"
+            f"  ) GROUP BY id\n)"
+        )
+        prev = f"d{i}"
+    return ",\n".join(parts) + f"\nSELECT id, layer FROM {prev}"
+
+
 def triangle_counts_oracle_sql(edges_sql: str) -> str:
     """DuckDB twin of :func:`triangle_counts` — by-definition canonical
     (a < b < c) triple join over the undirected edge set; per-vertex counts
@@ -263,4 +312,6 @@ __all__ = [
     "triangle_counts_oracle_sql",
     "clustering_coefficients",
     "clustering_coeff_oracle_sql",
+    "bfs_layers",
+    "bfs_layers_oracle_sql",
 ]

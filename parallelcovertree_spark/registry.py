@@ -3368,6 +3368,90 @@ def stay_points_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stay_points(ev, _STAY_RADIUS, _STAY_MIN)
 
 
+from parallelcovertree_spark.operators.graph import (  # noqa: E402
+    bfs_layers,
+    bfs_layers_oracle_sql,
+)
+
+_BFS_ITERS, _BFS_SRC_MOD = 4, 97
+
+
+@_register(
+    "bfs_layers_docs",
+    f"{_PTS_CTE},\n"
+    + bfs_layers_oracle_sql(
+        f"""SELECT a.id AS src, b.id AS dst
+  FROM pts a, pts b
+  WHERE a.id <> b.id
+    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= {EPS_RADIUS * EPS_RADIUS!r}""",
+        f"SELECT id FROM pts WHERE id % {_BFS_SRC_MOD} = 0",
+        _BFS_ITERS,
+    ),
+)
+def bfs_layers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop BFS reachability layers on the ε-graph from a deterministic
+    source set — spatial service-area analytics as pure dataflow (one
+    frontier join + one min-agg per round, oracle replays rounds as
+    chained CTEs) (operators/graph.py::bfs_layers)."""
+    from parallelcovertree_spark.operators.epsilon_join import epsilon_self_join
+
+    pts = _doc_points(spark, sf_dir)
+    edges = epsilon_self_join(pts, EPS_RADIUS, id_col="id", include_self=False)
+    sources = pts.where(F.col("id") % _BFS_SRC_MOD == 0).select("id")
+    return bfs_layers(edges, sources, _BFS_ITERS)
+
+
+_KDIST_BUCKET_MICRO = 100_000  # 0.1-unit histogram buckets
+
+
+@_register(
+    "knn_kdist_histogram",
+    f"""{_PTS_CTE},
+d AS (
+  SELECT a.id AS src,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.id
+           ORDER BY (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y), b.id
+         ) AS rk
+  FROM pts a, pts b WHERE a.id <> b.id
+),
+kd AS (
+  SELECT CAST(FLOOR(SQRT(d2) * 1000000.0) AS BIGINT) // {_KDIST_BUCKET_MICRO}
+           AS bucket
+  FROM d WHERE rk = {KNN_K}
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_points
+FROM kd GROUP BY bucket
+""",
+)
+def knn_kdist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-distance plot (DBSCAN ε selection, Ester et al. 1996): each
+    point's k-th-NN distance, micro-quantized and histogrammed into
+    0.1-unit buckets. One groupBy over the certified grid kNN output;
+    ranked-quadratic oracle (gate scale)."""
+    nn = knn_join(_doc_points(spark, sf_dir), k=KNN_K, id_col="id").where(
+        F.col("nbr_rank") == KNN_K
+    )
+    a = _doc_points(spark, sf_dir).select(
+        F.col("id").alias("src"), F.col("x").alias("ax"), F.col("y").alias("ay")
+    )
+    b = _doc_points(spark, sf_dir).select(
+        F.col("id").alias("dst"), F.col("x").alias("bx"), F.col("y").alias("by")
+    )
+    j = nn.join(a, "src").join(b, "dst")
+    dx = F.col("ax") - F.col("bx")
+    dy = F.col("ay") - F.col("by")
+    micro = F.floor(F.sqrt(dx * dx + dy * dy) * F.lit(1000000.0)).cast("long")
+    return (
+        j.select(micro.alias("_m"))
+        .select(F.expr(f"_m DIV {_KDIST_BUCKET_MICRO}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

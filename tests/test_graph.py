@@ -132,3 +132,24 @@ def test_clustering_coefficients_match_twin(spark):
         if d >= 2
     }
     assert got == want
+
+
+def test_bfs_layers_chain_two_sources_and_cap(spark):
+    from parallelcovertree_spark.operators.graph import bfs_layers
+
+    # chain 0-1-2-3-4-5-6-7 (directed both ways) with sources {0, 7}, cap 2:
+    # layers meet in the middle; 3,4 unreachable within 2 hops... 3 is 3 hops
+    # from 0 and 4 from 7 → absent; plus isolated vertex 9 never appears
+    edges = []
+    for a, b in zip(range(7), range(1, 8)):
+        edges += [(a, b), (b, a)]
+    edges += [(9, 9)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(0,), (7,)], "id long")
+    got = {r.id: r.layer for r in bfs_layers(e, s, n_iter=2).collect()}
+    # 3 and 4 are 3 hops from their nearer source -> absent under cap 2;
+    # 9 has only a self-loop and is not a source -> never enters
+    assert got == {0: 0, 7: 0, 1: 1, 6: 1, 2: 2, 5: 2}
+    # raising the cap reaches the middle; sources stay at layer 0
+    full = {r.id: r.layer for r in bfs_layers(e, s, n_iter=4).collect()}
+    assert full == {0: 0, 7: 0, 1: 1, 6: 1, 2: 2, 5: 2, 3: 3, 4: 3}

@@ -80,6 +80,8 @@ QUADRATIC_ORACLES = {
     "triangle_counts_docs",
     "clustering_coeff_docs",  # same quadratic-edge triple-join oracle
     "reverse_knn_counts",  # same O(n²) ranked-pair oracle as knn_docs
+    "knn_kdist_histogram",  # same O(n²) ranked-pair oracle
+    "bfs_layers_docs",  # quadratic edge CTE replayed 4 rounds in the oracle
     "ann_cosine_topk",
     # exact high-dim kNN: the SPARK side is the scalable hub-routed plan,
     # but the oracle is the by-definition O(n²·dim) flat self-join

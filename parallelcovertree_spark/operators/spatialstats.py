@@ -251,7 +251,10 @@ def ripley_k(
         F.min(yD).alias("miny"),
         F.max(yD).alias("maxy"),
     )
-    row = meta.crossJoin(F.broadcast(counts))
+    # ONE row feeds |radii| union branches — pin it, or Catalyst re-runs
+    # the ε-join aggregate and the extent scan once per radius (measured
+    # 4× at 1M points before this checkpoint)
+    row = meta.crossJoin(F.broadcast(counts)).localCheckpoint(eager=False)
     nD = F.col("n_pts").cast("double")
     area = (F.col("maxx") - F.col("minx")) * (F.col("maxy") - F.col("miny"))
     out = None
@@ -461,10 +464,12 @@ def cross_k(
         F.min("cy").alias("miny"),
         F.max("cy").alias("maxy"),
     )
+    # pinned for the same reason as ripley_k: one row, |radii| consumers
     row = (
         ext.crossJoin(F.broadcast(na))
         .crossJoin(F.broadcast(nb))
         .crossJoin(F.broadcast(counts))
+        .localCheckpoint(eager=False)
     )
     area = (F.col("maxx") - F.col("minx")) * (F.col("maxy") - F.col("miny"))
     naD, nbD = F.col("n_a").cast("double"), F.col("n_b").cast("double")

@@ -189,6 +189,7 @@ def colocation_pairs(
     us_col: str = "us",
     x: str = "x",
     y: str = "y",
+    max_slot_users: int | None = None,
 ) -> DataFrame:
     """(user_a, user_b, n_slots): pairs of users observed in the SAME
     (time bucket, tile) slot, with the number of distinct shared slots —
@@ -199,10 +200,15 @@ def colocation_pairs(
     shuffle, with multiplicity collapsed BEFORE the join so a user's
     repeated pings in a slot can't square the pair volume — then a
     slot-keyed self-join emitting ordered pairs and a pair-keyed count.
-    Hot slots (stadium effect) are the quadratic hazard: at scale cap or
-    salt per-slot membership (the measured hot-cell salting pattern);
-    unfiltered here because slot populations are data-bounded at gate
-    scale.
+
+    Hot slots (stadium effect) are the quadratic hazard: a slot with s
+    users emits s² pair rows no matter how the join is partitioned.
+    ``max_slot_users`` is the production guard (standard in
+    contact-tracing pipelines, where a stadium slot carries no proximity
+    signal anyway): slots whose population exceeds the cap are EXCLUDED
+    — a deterministic, documented semantics change, not a sample — via
+    one extra slot-keyed aggregate join. ``None`` (gate default)
+    disables it.
     """
     b = F.expr(f"CAST({us_col} AS BIGINT) DIV {int(bucket_us)}")
     visits = (
@@ -213,6 +219,13 @@ def colocation_pairs(
         )
         .distinct()
     )
+    if max_slot_users is not None:
+        pop = visits.groupBy("tb", "cell").agg(F.count(F.lit(1)).alias("_n"))
+        visits = (
+            visits.join(pop, ["tb", "cell"])
+            .where(F.col("_n") <= F.lit(int(max_slot_users)))
+            .drop("_n")
+        )
     a = visits.select(F.col("u").alias("user_a"), "tb", "cell")
     bb = visits.select(F.col("u").alias("user_b"), "tb", "cell")
     pairs = a.join(bb, ["tb", "cell"]).where(F.col("user_a") < F.col("user_b"))

@@ -148,3 +148,24 @@ def test_stay_points_break_is_hop_not_diameter(spark):
     ev = spark.createDataFrame(rows, "user_id long, us long, event_id long, x double, y double")
     out = stay_points(ev, 1.0, 2).collect()
     assert len(out) == 1 and out[0].n_events == 5
+
+
+def test_colocation_hot_slot_cap_excludes_stadium(spark):
+    day = 86_400_000_000
+    # stadium slot: users 1..6 all in (day0, cell(0,0)); quiet slot: 1,2 in day1
+    rows = [(u, 100 + u, 0.5, 0.5) for u in range(1, 7)] + [
+        (1, day + 1, 0.5, 0.5),
+        (2, day + 2, 0.5, 0.5),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, us long, x double, y double")
+    uncapped = {
+        (r.user_a, r.user_b): r.n_slots
+        for r in colocation_pairs(ev, 1.0, day).collect()
+    }
+    assert uncapped[(1, 2)] == 2 and len(uncapped) == 15  # C(6,2)
+    capped = {
+        (r.user_a, r.user_b): r.n_slots
+        for r in colocation_pairs(ev, 1.0, day, max_slot_users=4).collect()
+    }
+    # stadium slot dropped entirely; the quiet slot survives
+    assert capped == {(1, 2): 1}

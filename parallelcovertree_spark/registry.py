@@ -3452,6 +3452,128 @@ def knn_kdist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H-shaped relational gates (multi-table join evidence) ----------------
+
+# NTZ epoch-micros thresholds (tz-independent; dates are TIMESTAMP columns)
+_US_1996 = 820_454_400_000_000
+_US_1997 = 852_076_800_000_000
+_US_1998 = 883_612_800_000_000
+
+# Σ round(extprice·(1−disc)·100) — exact BIGINT cents, the lineitem_rollup
+# rounding discipline extended to the discounted-revenue product
+_REV_CENTS_SQL = (
+    "CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)"
+)
+
+
+def _rev_cents_col() -> F.Column:
+    return F.expr(_REV_CENTS_SQL)
+
+
+@_register(
+    "q3_shipping_priority",
+    f"""SELECT l_orderkey,
+       CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS revenue_cents,
+       CAST(o_orderdate AS VARCHAR) AS orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND EPOCH_US(o_orderdate) < {_US_1997}
+  AND EPOCH_US(l_shipdate) > {_US_1997}
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+    orders ⋈ lineitem, discounted revenue as exact integer cents, NTZ
+    epoch date filters pushed into the scans. The fact⋈fact join
+    (orders⋈lineitem on orderkey) is the canonical shuffle hash join;
+    the filtered customer side is broadcast-eligible after pushdown."""
+    us = lambda c: F.expr(NTZ_EPOCH_US.format(ts=c))  # noqa: E731
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(us("o_orderdate") < _US_1997)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(us("l_shipdate") > _US_1997)
+        .select("l_orderkey", _rev_cents_col().alias("_cents"))
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum("_cents").alias("revenue_cents"))
+        .select("l_orderkey", "revenue_cents", "orderdate", "o_orderpriority")
+    )
+
+
+@_register(
+    "q5_local_supplier_volume",
+    f"""SELECT n_name,
+       CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+  AND EPOCH_US(o_orderdate) >= {_US_1996}
+  AND EPOCH_US(o_orderdate) < {_US_1998}
+GROUP BY n_name
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the six-table join with the
+    customer-nation = supplier-nation co-location predicate. Dimensions
+    (nation⋈region, pre-filtered) broadcast; customer⋈orders and
+    orders⋈lineitem⋈supplier are key-partitioned shuffle joins — the
+    multi-fact relational pattern the geospatial gates don't exercise."""
+    us = lambda c: F.expr(NTZ_EPOCH_US.format(ts=c))  # noqa: E731
+    nat = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/region.parquet").where(
+                F.col("r_name") == "ASIA"
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where((us("o_orderdate") >= _US_1996) & (us("o_orderdate") < _US_1998))
+        .select("o_custkey", "o_orderkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", _rev_cents_col().alias("_cents")
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    j = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nat), s["s_nationkey"] == nat["n_nationkey"])
+    )
+    return j.groupBy("n_name").agg(F.sum("_cents").alias("revenue_cents"))
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

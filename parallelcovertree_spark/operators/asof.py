@@ -90,3 +90,86 @@ def asof_join_backward(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
         *[F.col("_m")[c].alias(c) for c in payload_cols],
     )
+
+
+def session_concurrency(
+    sessions,
+    day_us: int = 86_400_000_000,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+):
+    """(day, n_sessions, max_concurrent): sweep-line maximum concurrency of
+    [start_us, end_us] intervals per day bucket — the "peak simultaneous
+    sessions" capacity analytic.
+
+    Multi-day sessions are clipped into each day they overlap (explode
+    bounded by span — minutes-scale sessions almost never span), so the
+    sweep is embarrassingly parallel ACROSS days: within a day, +1/−1
+    delta rows at start and end+1 (half-open), one day-partitioned window
+    running sum ordered by (t, delta) — ends apply before starts at the
+    same instant, so back-to-back sessions never double-count — and a
+    day-keyed max. All integers; the oracle replays the identical window.
+    """
+    from pyspark.sql import Window
+
+    from pyspark.sql import functions as F
+
+    d = int(day_us)
+    s0 = F.col(start_col).cast("long")
+    e0 = F.col(end_col).cast("long")
+    days = sessions.select(
+        s0.alias("_s"),
+        e0.alias("_e"),
+        F.explode(
+            F.sequence(F.expr(f"CAST({start_col} AS BIGINT) DIV {d}"),
+                       F.expr(f"CAST({end_col} AS BIGINT) DIV {d}"))
+        ).alias("day"),
+    )
+    clip_s = F.greatest(F.col("_s"), F.col("day") * F.lit(d))
+    clip_e = F.least(F.col("_e"), F.col("day") * F.lit(d) + F.lit(d - 1))
+    clipped = days.select("day", clip_s.alias("cs"), clip_e.alias("ce"))
+    deltas = clipped.select(
+        "day", F.col("cs").alias("t"), F.lit(1).cast("long").alias("delta")
+    ).unionAll(
+        clipped.select(
+            "day", (F.col("ce") + F.lit(1)).alias("t"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    w = Window.partitionBy("day").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = deltas.select("day", "delta", F.sum("delta").over(w).alias("_run"))
+    return run.groupBy("day").agg(
+        (F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))).alias("n_sessions"),
+        F.max("_run").alias("max_concurrent"),
+    )
+
+
+SESSION_CONCURRENCY_ORACLE_SQL_TEMPLATE = """WITH sess AS ({sessions_cte}),
+days AS (
+  SELECT start_us, end_us,
+         unnest(range(start_us // {day_us}, end_us // {day_us} + 1)) AS day
+  FROM sess
+),
+clipped AS (
+  SELECT day,
+         GREATEST(start_us, day * {day_us}) AS cs,
+         LEAST(end_us, day * {day_us} + {day_us} - 1) AS ce
+  FROM days
+),
+deltas AS (
+  SELECT day, cs AS t, CAST(1 AS BIGINT) AS delta FROM clipped
+  UNION ALL
+  SELECT day, ce + 1 AS t, CAST(-1 AS BIGINT) AS delta FROM clipped
+),
+runs AS (
+  SELECT day, delta,
+         SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM deltas
+)
+SELECT day,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(MAX(run) AS BIGINT) AS max_concurrent
+FROM runs GROUP BY day"""

@@ -3574,6 +3574,68 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("n_name").agg(F.sum("_cents").alias("revenue_cents"))
 
 
+from parallelcovertree_spark.operators.asof import (  # noqa: E402
+    SESSION_CONCURRENCY_ORACLE_SQL_TEMPLATE,
+    session_concurrency,
+)
+
+_SESS_GAP_US = 600_000_000
+
+_SESSIONS_SQL = f"""SELECT user_id, session_id,
+       CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us
+FROM (
+  SELECT user_id, us,
+         SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id,
+         event_id
+  FROM (
+    SELECT user_id, event_id, EPOCH_US(ts) AS us,
+           LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_us
+    FROM events
+  )
+)
+GROUP BY user_id, session_id"""
+
+
+@_register(
+    "session_concurrency",
+    SESSION_CONCURRENCY_ORACLE_SQL_TEMPLATE.format(
+        sessions_cte=_SESSIONS_SQL, day_us=_DAY_US
+    ),
+)
+def session_concurrency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions per day: the sweep-line concurrency
+    operator over 10-minute-gap session intervals (the sessionizer's
+    lineage extended with min/max bounds). Day-partitioned ±1 running
+    sums — parallel across days, half-open end+1 encoding so
+    back-to-back sessions never double-count
+    (operators/asof.py::session_concurrency)."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_id",
+        F.expr(NTZ_EPOCH_US.format(ts="ts")).cast("long").alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    new_sess = F.when(
+        F.lag("us").over(w).isNull()
+        | ((F.col("us") - F.lag("us").over(w)) > _SESS_GAP_US),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = (
+        ev.withColumn("is_new", new_sess)
+        .withColumn("session_id", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("us").alias("start_us"), F.max("us").alias("end_us"))
+    )
+    return session_concurrency(sessions, _DAY_US)
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

@@ -188,3 +188,41 @@ def test_zonal_stats_matches_pip_plus_python_agg(spark):
         assert r["sum_v"] == sum(vs)
         assert (r["min_v"], r["max_v"]) == (min(vs), max(vs))
         assert r["mean_v"] == sum(vs) / len(vs)
+
+
+def test_session_concurrency_sweep_semantics(spark):
+    from parallelcovertree_spark.operators.asof import session_concurrency
+
+    day = 86_400_000_000
+    sessions = [
+        # day 0: [0,100], [50,200], [150,300] → peak 2 (at 50-100 and 150-200)
+        (0, 100), (50, 200), (150, 300),
+        # back-to-back: [400,500] and [501,600] never overlap → peak stays 2
+        (400, 500), (501, 600),
+        # multi-day session spanning days 1-3 → counted in each, clipped
+        (day + 10, 3 * day + 10),
+        # day 3: one more → peak 2 on day 3
+        (3 * day + 5, 3 * day + 9),
+    ]
+    df = spark.createDataFrame(sessions, "start_us long, end_us long")
+    got = {
+        r.day: (r.n_sessions, r.max_concurrent)
+        for r in session_concurrency(df, day).collect()
+    }
+    assert got == {
+        0: (5, 2),
+        1: (1, 1),
+        2: (1, 1),
+        3: (2, 2),
+    }
+
+
+def test_session_concurrency_exact_touch_counts_once(spark):
+    from parallelcovertree_spark.operators.asof import session_concurrency
+
+    # [0,100] and [100,200] DO overlap at t=100 (inclusive ends) → peak 2;
+    # [0,100] and [101,200] do not → peak 1
+    overlap = spark.createDataFrame([(0, 100), (100, 200)], "start_us long, end_us long")
+    touch = spark.createDataFrame([(0, 100), (101, 200)], "start_us long, end_us long")
+    assert session_concurrency(overlap).collect()[0].max_concurrent == 2
+    assert session_concurrency(touch).collect()[0].max_concurrent == 1

@@ -3636,6 +3636,69 @@ def session_concurrency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_concurrency(sessions, _DAY_US)
 
 
+@_register(
+    "daily_active_users",
+    f"""SELECT EPOCH_US(ts) // {_DAY_US} AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+""",
+)
+def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU: per-day event and exact distinct-user counts — the canonical
+    engagement metric. COUNT DISTINCT is the two-phase expand; the
+    approximate (HLL) path's accuracy vs this exact result is pinned in
+    tests/test_analytics_ops.py (the sketch is the 100 TB plan, this
+    gate's exact semantics are its target)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.expr(f"({NTZ_EPOCH_US.format(ts='ts')}) DIV {_DAY_US}")
+    return ev.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_ROLL_DAYS = 7
+
+
+@_register(
+    "rolling_active_users",
+    f"""WITH v AS (
+  SELECT DISTINCT user_id, EPOCH_US(ts) // {_DAY_US} AS day FROM events
+),
+x AS (
+  SELECT user_id, day + d.off AS rday
+  FROM v, (SELECT unnest(range(0, {_ROLL_DAYS})) AS off) d
+),
+maxd AS (SELECT MAX(day) AS md FROM v)
+SELECT rday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_7d
+FROM x, maxd WHERE rday <= maxd.md GROUP BY rday
+""",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (WAU-style rolling distinct):
+    each (user, day) visit donates itself to the next 7 days — a bounded
+    explode of the DISTINCT visit table (never raw events) followed by
+    one distinct-count; days beyond the observed horizon are clipped.
+    The standard exact formulation of windowed distinct (sliding-window
+    COUNT DISTINCT does not decompose; HLL sketch union is the
+    approximate 100 TB path, same target semantics)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.expr(f"({NTZ_EPOCH_US.format(ts='ts')}) DIV {_DAY_US}")
+    visits = ev.select("user_id", day.alias("day")).distinct()
+    offs = F.array(*[F.lit(i) for i in range(_ROLL_DAYS)])
+    donated = visits.select(
+        "user_id", F.explode(offs).alias("_o"), "day"
+    ).select("user_id", (F.col("day") + F.col("_o")).alias("rday"))
+    maxd = visits.agg(F.max("day").alias("md"))
+    return (
+        donated.crossJoin(F.broadcast(maxd))
+        .where(F.col("rday") <= F.col("md"))
+        .groupBy(F.col("rday").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n_users_7d"))
+    )
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

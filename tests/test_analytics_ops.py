@@ -226,3 +226,74 @@ def test_session_concurrency_exact_touch_counts_once(spark):
     touch = spark.createDataFrame([(0, 100), (101, 200)], "start_us long, end_us long")
     assert session_concurrency(overlap).collect()[0].max_concurrent == 2
     assert session_concurrency(touch).collect()[0].max_concurrent == 1
+
+
+def test_hll_sketch_tracks_exact_distinct(spark):
+    """approx_count_distinct (HyperLogLog++, the 100 TB distinct path) must
+    track the exact DAU gate within its configured rsd on real data."""
+    import pyspark.sql.functions as F
+
+    from parallelcovertree_spark.registry import NTZ_EPOCH_US, _DAY_US
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    day = F.expr(f"({NTZ_EPOCH_US.format(ts='ts')}) DIV {_DAY_US}")
+    both = (
+        ev.groupBy(day.alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        )
+        .collect()
+    )
+    assert len(both) == 30
+    for r in both:
+        assert abs(r.approx - r.exact) <= max(3, 0.06 * r.exact), (
+            r.day, r.exact, r.approx,
+        )
+
+
+def test_rolling_active_users_brute_force(spark):
+    """Rolling 7-day distinct vs a python brute force on a small synthetic."""
+    import pyspark.sql.functions as F
+
+    day = 86_400_000_000
+    rows = [
+        (1, 0), (2, 0),        # day 0
+        (1, 1),                # day 1
+        (3, 5),                # day 5
+        (2, 9),                # day 9
+    ]
+    # build a tiny events-like frame: ts from day index
+    import datetime
+
+    ev = spark.createDataFrame(
+        [
+            (u, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d), 0)
+            for u, d in rows
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    from parallelcovertree_spark.registry import NTZ_EPOCH_US
+
+    dcol = F.expr(f"({NTZ_EPOCH_US.format(ts='ts')}) DIV {day}")
+    visits = ev.select("user_id", dcol.alias("day")).distinct()
+    offs = F.array(*[F.lit(i) for i in range(7)])
+    donated = visits.select(
+        "user_id", F.explode(offs).alias("o"), "day"
+    ).select("user_id", (F.col("day") + F.col("o")).alias("rday"))
+    maxd = visits.agg(F.max("day").alias("md"))
+    got = {
+        r.rday: r.n
+        for r in donated.crossJoin(F.broadcast(maxd))
+        .where(F.col("rday") <= F.col("md"))
+        .groupBy("rday")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    base = min(got)  # epoch day of 2024-01-01
+    want = {}
+    for d in range(10):
+        users = {u for u, vd in rows if d - 6 <= vd <= d}
+        if users:
+            want[base + d] = len(users)
+    assert got == want

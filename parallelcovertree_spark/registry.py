@@ -3699,6 +3699,81 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# skewness/kurtosis from raw power sums of n_tokens (≤ a few hundred per
+# doc): S4 ≤ len⁴·docs stays far under 2⁶³ at any gate/bench scale; at
+# 10^12 docs shard the sums (they are associative) or move to DECIMAL.
+_MOMENT_MEAN = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+_MOMENT_M2 = (
+    f"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - {_MOMENT_MEAN} * {_MOMENT_MEAN})"
+)
+_MOMENT_M3 = (
+    f"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) "
+    f"- 3.0 * {_MOMENT_MEAN} * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) "
+    f"+ 2.0 * {_MOMENT_MEAN} * {_MOMENT_MEAN} * {_MOMENT_MEAN})"
+)
+_MOMENT_M4 = (
+    f"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) "
+    f"- 4.0 * {_MOMENT_MEAN} * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) "
+    f"+ 6.0 * {_MOMENT_MEAN} * {_MOMENT_MEAN} "
+    f"* (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) "
+    f"- 3.0 * {_MOMENT_MEAN} * {_MOMENT_MEAN} * {_MOMENT_MEAN} * {_MOMENT_MEAN})"
+)
+
+
+@_register(
+    "doc_token_moments",
+    f"""WITH t AS (
+  SELECT lang, {TOKEN_COUNT_SQL.format(t='text')} AS len FROM documents
+),
+s AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(len) AS BIGINT) AS s1,
+         CAST(SUM(len * len) AS BIGINT) AS s2,
+         CAST(SUM(len * len * len) AS BIGINT) AS s3,
+         CAST(SUM(len * len * len * len) AS BIGINT) AS s4
+  FROM t GROUP BY lang
+)
+SELECT lang, n, s1, s2, s3, s4,
+       {_MOMENT_MEAN} AS mean_len,
+       {_MOMENT_M2} AS var_len,
+       {_MOMENT_M3} / ({_MOMENT_M2} * SQRT({_MOMENT_M2})) AS skewness,
+       {_MOMENT_M4} / ({_MOMENT_M2} * {_MOMENT_M2}) AS kurtosis
+FROM s
+""",
+)
+def doc_token_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length distribution profile: mean, variance,
+    skewness, kurtosis — exact BIGINT raw power sums (associative,
+    partition/engine-independent), central moments as fixed IEEE trees
+    (m2^1.5 written as m2·sqrt(m2): one correctly-rounded sqrt, no pow).
+    The statistical-profiling pass of corpus QA."""
+    docs = _docs(spark, sf_dir)
+    ln = F.expr(TOKEN_COUNT_SQL.format(t="text")).alias("len")
+    t = docs.select("lang", ln)
+    lenc = F.col("len")
+    s = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("len").alias("s1"),
+        F.sum(lenc * lenc).alias("s2"),
+        F.sum(lenc * lenc * lenc).alias("s3"),
+        F.sum(lenc * lenc * lenc * lenc).alias("s4"),
+    )
+    return s.select(
+        "lang",
+        "n",
+        "s1",
+        "s2",
+        "s3",
+        "s4",
+        F.expr(_MOMENT_MEAN).alias("mean_len"),
+        F.expr(_MOMENT_M2).alias("var_len"),
+        F.expr(f"{_MOMENT_M3} / ({_MOMENT_M2} * SQRT({_MOMENT_M2}))").alias(
+            "skewness"
+        ),
+        F.expr(f"{_MOMENT_M4} / ({_MOMENT_M2} * {_MOMENT_M2})").alias("kurtosis"),
+    )
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

@@ -297,3 +297,56 @@ def test_rolling_active_users_brute_force(spark):
         if users:
             want[base + d] = len(users)
     assert got == want
+
+
+def test_doc_token_moments_match_scipy_free_numpy(spark):
+    """Moments gate vs plain numpy population skewness/kurtosis."""
+    import numpy as np
+    import pytest
+
+    from parallelcovertree_spark.registry import doc_token_moments
+
+    rows = {r.lang: r for r in doc_token_moments(spark, "/root/testdata/sf0.01").collect()}
+    import duckdb
+
+    lens = duckdb.sql(
+        "SELECT lang, CAST((LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) + 1 AS BIGINT) AS l "
+        "FROM '/root/testdata/sf0.01/documents.parquet'"
+    ).df()
+    for lang, grp in lens.groupby("lang"):
+        x = grp["l"].to_numpy(np.float64)
+        mu = x.mean()
+        m2 = ((x - mu) ** 2).mean()
+        m3 = ((x - mu) ** 3).mean()
+        m4 = ((x - mu) ** 4).mean()
+        r = rows[lang]
+        assert r.n == len(x)
+        assert r.mean_len == pytest.approx(mu, rel=1e-9)
+        assert r.var_len == pytest.approx(m2, rel=1e-9)
+        assert r.skewness == pytest.approx(m3 / m2**1.5, rel=1e-9)
+        assert r.kurtosis == pytest.approx(m4 / m2**2, rel=1e-9)
+
+
+def test_percentile_approx_tracks_exact(spark):
+    """percentile_approx (t-digest partial aggregation, the 100 TB path)
+    vs the exact nearest-rank gate semantics on real event values."""
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile_approx(cents, array(0.5, 0.9), 1000)").alias("ap"),
+            F.expr("percentile(cents, array(0.5, 0.9))").alias("ex"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        for a, e in zip(r.ap, r.ex):
+            # t-digest at accuracy 1000 on ~thousands of rows: within 2%
+            # of the exact percentile (value scale), never wildly off
+            assert abs(a - e) <= max(5, 0.02 * abs(e)), (r.event_type, a, e)

@@ -134,12 +134,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     consumers — pinned with localCheckpoint (iterative-op discipline, same
     as pagerank above).
     """
+    # the canonical edge set feeds FOUR consumers (both unionAll legs of
+    # the degree aggregate, the decoration join, the closing join via
+    # `oriented`'s parent) — pin it, or the upstream edge derivation (an
+    # ε-join at the gate) re-runs once per consumer
     und = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("id"))

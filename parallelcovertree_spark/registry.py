@@ -3690,7 +3690,9 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     donated = visits.select(
         "user_id", F.explode(offs).alias("_o"), "day"
     ).select("user_id", (F.col("day") + F.col("_o")).alias("rday"))
-    maxd = visits.agg(F.max("day").alias("md"))
+    # horizon from the RAW events (max is distinct-invariant) — deriving it
+    # from `visits` would re-run the distinct shuffle for a single scalar
+    maxd = ev.agg(F.max(day).alias("md"))
     return (
         donated.crossJoin(F.broadcast(maxd))
         .where(F.col("rday") <= F.col("md"))

@@ -65,3 +65,35 @@ def run_stream_once(stream_df: DataFrame, name: str, checkpoint: str) -> DataFra
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def windowed_distinct_users(events: DataFrame, streaming: bool = False) -> DataFrame:
+    """Per daily window: event count + APPROXIMATE distinct users
+    (HyperLogLog++, rsd 2%) — the streaming DAU monitor.
+
+    Exact COUNT DISTINCT is not incrementally maintainable in a streaming
+    aggregate without keeping every user id per window; the HLL sketch is
+    the production answer — and because register-wise max-merge is
+    commutative, associative, and idempotent, the drained stream equals
+    the batch twin EXACTLY (not approximately): same sketch, same
+    estimate, any partitioning or micro-batch split. Accuracy vs the exact
+    gate is pinned separately (test_analytics_ops.py). Same NTZ watermark
+    discipline as windowed_event_counts."""
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+        "CAST(ts AS TIMESTAMP_NTZ))"
+    )
+    events = events.withColumn("ts", F.timestamp_micros(us))
+    src = events.withWatermark("ts", WATERMARK) if streaming else events
+    return (
+        src.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket"),
+            "n_events",
+            "n_users_approx",
+        )
+    )

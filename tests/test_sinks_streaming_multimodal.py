@@ -218,3 +218,42 @@ def test_media_sniff_stream_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.table("sniff_stream").collect()))
     want = sorted(map(tuple, media_sniff(batch_df).collect()))
     assert got == want and len(got) == 3
+
+
+def test_streaming_dau_sketch_equals_batch_exactly(tmp_path, spark):
+    """HLL register merge is order/partition-independent → the streamed
+    windowed sketch equals the batch twin EXACTLY, across micro-batches."""
+    import shutil
+
+    from parallelcovertree_spark.streaming.jobs import (
+        run_stream_once,
+        stream_events_from_parquet,
+        windowed_distinct_users,
+    )
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    d = tmp_path / "ev"
+    d.mkdir()
+    ev = spark.read.parquet(src)
+    rows = ev.orderBy("ts", "event_id").collect()
+    n = len(rows)
+    for i in range(3):
+        spark.createDataFrame(rows[i * n // 3 : (i + 1) * n // 3], ev.schema).coalesce(
+            1
+        ).write.parquet(str(tmp_path / f"p{i}"))
+        shutil.copy(
+            next((tmp_path / f"p{i}").glob("part-*.parquet")), d / f"{i:02d}.parquet"
+        )
+    out = run_stream_once(
+        windowed_distinct_users(
+            stream_events_from_parquet(spark, str(d)), streaming=True
+        ),
+        "dau_stream_t",
+        str(tmp_path / "ck"),
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {
+        tuple(r)
+        for r in windowed_distinct_users(spark.read.parquet(src)).collect()
+    }
+    assert got == want and len(got) > 0

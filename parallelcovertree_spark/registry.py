@@ -3489,8 +3489,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders ⋈ lineitem, discounted revenue as exact integer cents, NTZ
     epoch date filters pushed into the scans. The fact⋈fact join
     (orders⋈lineitem on orderkey) is the canonical shuffle hash join;
-    the filtered customer side is broadcast-eligible after pushdown."""
-    us = lambda c: F.expr(NTZ_EPOCH_US.format(ts=c))  # noqa: E731
+    the filtered customer side is broadcast-eligible after pushdown.
+
+    Date filters compare the native TIMESTAMP_NTZ column against NTZ
+    LITERALS — tz-free by construction AND pushed to the parquet scan as
+    LessThan/GreaterThan (verified PushedFilters; the epoch-arithmetic
+    form the aggregating gates use evaluates post-scan and loses
+    row-group pruning)."""
     c = (
         spark.read.parquet(f"{sf_dir}/customer.parquet")
         .where(F.col("c_mktsegment") == "BUILDING")
@@ -3498,12 +3503,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .where(us("o_orderdate") < _US_1997)
+        .where(F.expr("o_orderdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'"))
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority")
     )
     li = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .where(us("l_shipdate") > _US_1997)
+        .where(F.expr("l_shipdate > TIMESTAMP_NTZ'1997-01-01 00:00:00'"))
         .select("l_orderkey", _rev_cents_col().alias("_cents"))
     )
     return (
@@ -3538,8 +3543,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-nation = supplier-nation co-location predicate. Dimensions
     (nation⋈region, pre-filtered) broadcast; customer⋈orders and
     orders⋈lineitem⋈supplier are key-partitioned shuffle joins — the
-    multi-fact relational pattern the geospatial gates don't exercise."""
-    us = lambda c: F.expr(NTZ_EPOCH_US.format(ts=c))  # noqa: E731
+    multi-fact relational pattern the geospatial gates don't exercise.
+    Date range as pushable NTZ-literal compares (see q3)."""
     nat = (
         spark.read.parquet(f"{sf_dir}/nation.parquet")
         .join(
@@ -3555,7 +3560,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .where((us("o_orderdate") >= _US_1996) & (us("o_orderdate") < _US_1998))
+        .where(
+            F.expr("o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00'")
+            & F.expr("o_orderdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'")
+        )
         .select("o_custkey", "o_orderkey")
     )
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(

@@ -3784,6 +3784,66 @@ def doc_token_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "tile_profiles",
+    f"""WITH pts AS (
+  SELECT doc_id, lang, source,
+         {cell_id_sql(geo.X_SQL.format(id='doc_id'), geo.Y_SQL.format(id='doc_id'), TILE_RES)} AS cell_id
+  FROM documents
+),
+lc AS (
+  SELECT cell_id, lang, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2
+),
+r AS (
+  SELECT cell_id, lang, n,
+         ROW_NUMBER() OVER (PARTITION BY cell_id ORDER BY n DESC, lang) AS rk,
+         CAST(SUM(n) OVER (PARTITION BY cell_id) AS BIGINT) AS n_docs
+  FROM lc
+),
+s AS (
+  SELECT cell_id, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources FROM pts
+  GROUP BY cell_id
+)
+SELECT r.cell_id, r.n_docs, r.lang AS top_lang, r.n AS n_top_lang,
+       CAST(r.n AS DOUBLE) / CAST(r.n_docs AS DOUBLE) AS lang_share, s.n_sources
+FROM r JOIN s ON r.cell_id = s.cell_id WHERE r.rk = 1
+""",
+)
+def tile_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile attribute profile for map rendering: document count, modal
+    language (ties → lexicographic) with its share, and distinct source
+    count — the vector-tile metadata layer over the cell index. One
+    (cell, lang) count shuffle + one reused cell window (the home_cell
+    pattern applied to tiles) + a cell-keyed distinct count."""
+    docs = _docs(spark, sf_dir).select(
+        "lang",
+        "source",
+        cell_id(geo.x_col("doc_id"), geo.y_col("doc_id"), TILE_RES).alias("cell_id"),
+    )
+    lc = docs.groupBy("cell_id", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("cell_id")
+    ranked = lc.select(
+        "cell_id",
+        "lang",
+        "n",
+        F.row_number().over(w.orderBy(F.desc("n"), F.asc("lang"))).alias("rk"),
+        F.sum("n").over(w).alias("n_docs"),
+    ).where(F.col("rk") == 1)
+    src = docs.groupBy("cell_id").agg(
+        F.countDistinct("source").alias("n_sources")
+    )
+    return ranked.join(src, "cell_id").select(
+        "cell_id",
+        "n_docs",
+        F.col("lang").alias("top_lang"),
+        F.col("n").alias("n_top_lang"),
+        (F.col("n").cast("double") / F.col("n_docs").cast("double")).alias(
+            "lang_share"
+        ),
+        "n_sources",
+    )
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

@@ -3844,6 +3844,54 @@ def tile_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GEO_DUP_CELL_SQL = cell_id_sql(
+    geo.X_SQL.format(id="doc_id"), geo.Y_SQL.format(id="doc_id"), TILE_RES
+)
+
+
+def _register_geo_dups() -> None:
+    """Deferred so the composed oracle can wrap minhash_dup_pairs' SQL
+    verbatim (DuckDB accepts a nested WITH inside a CTE body)."""
+    base_sql = _ORACLES["minhash_dup_pairs"]
+
+    @_register(
+        "minhash_dup_pairs_geo",
+        f"""WITH p AS ({base_sql}),
+c AS (SELECT doc_id, {_GEO_DUP_CELL_SQL} AS cell_id FROM documents)
+SELECT p.src, p.dst, ca.cell_id
+FROM p JOIN c ca ON ca.doc_id = p.src JOIN c cb ON cb.doc_id = p.dst
+WHERE ca.cell_id = cb.cell_id
+""",
+    )
+    def minhash_dup_pairs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Geo-scoped near-duplicate candidates: MinHash-LSH pairs whose
+        documents sit in the SAME tile — regional mirror detection (the
+        dedup surface composed with the tiling surface; 722 of 75k global
+        pairs at sf0.01). Two id-keyed hash joins attach cells to the
+        banded-join output; the tile filter could equally ride the band
+        key itself ((band, bk, cell) composite) when only local pairs are
+        wanted at scale — noted, kept separate here so the global op is
+        reused."""
+        pairs = _QUERIES["minhash_dup_pairs"](spark, sf_dir)
+        cells = _docs(spark, sf_dir).select(
+            "doc_id",
+            cell_id(geo.x_col("doc_id"), geo.y_col("doc_id"), TILE_RES).alias(
+                "cell_id"
+            ),
+        )
+        ca = cells.select(F.col("doc_id").alias("src"), F.col("cell_id").alias("_ca"))
+        cb = cells.select(F.col("doc_id").alias("dst"), F.col("cell_id").alias("_cb"))
+        return (
+            pairs.join(ca, "src")
+            .join(cb, "dst")
+            .where(F.col("_ca") == F.col("_cb"))
+            .select("src", "dst", F.col("_ca").alias("cell_id"))
+        )
+
+
+_register_geo_dups()
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

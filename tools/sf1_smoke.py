@@ -106,7 +106,8 @@ QUADRATIC_ORACLES = {
 # The banded-join scale shape of these operators is exercised by
 # q_minhash_dedup / q_minhash_dedup_engine at sf0.1 in bench.py.
 DUP_DENSITY_QUADRATIC = {
-    "minhash_dup_pairs", "minhash_dup_pairs_engine", "simhash_dup_pairs",
+    "minhash_dup_pairs", "minhash_dup_pairs_engine", "minhash_dup_pairs_geo",
+    "simhash_dup_pairs",
     "ngram_jaccard_dups", "dedup_clusters", "clean_corpus", "training_manifest",
     "embedding_neardup",
     # not quadratic but emptied: 10x verbatim replication gives every BODY

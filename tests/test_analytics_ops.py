@@ -350,3 +350,28 @@ def test_percentile_approx_tracks_exact(spark):
             # t-digest at accuracy 1000 on ~thousands of rows: within 2%
             # of the exact percentile (value scale), never wildly off
             assert abs(a - e) <= max(5, 0.02 * abs(e)), (r.event_type, a, e)
+
+
+def test_tile_profiles_modal_tie_and_share(spark):
+    """tile_profiles semantics on a designed frame via the registry fn's
+    building blocks (modal tie → lexicographic lang; share one division)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    docs = spark.createDataFrame(
+        [("en", "s1", 7), ("de", "s2", 7), ("de", "s1", 7), ("en", "s1", 7),
+         ("fr", "s3", 9)],
+        "lang string, source string, cell_id long",
+    )
+    lc = docs.groupBy("cell_id", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("cell_id")
+    ranked = lc.select(
+        "cell_id", "lang", "n",
+        F.row_number().over(w.orderBy(F.desc("n"), F.asc("lang"))).alias("rk"),
+        F.sum("n").over(w).alias("n_docs"),
+    ).where("rk = 1")
+    src = docs.groupBy("cell_id").agg(F.countDistinct("source").alias("n_sources"))
+    out = {r.cell_id: r for r in ranked.join(src, "cell_id").collect()}
+    # cell 7: en=2, de=2 → tie → 'de'; 2 sources
+    assert (out[7].lang, out[7].n, out[7].n_docs, out[7].n_sources) == ("de", 2, 4, 2)
+    assert (out[9].lang, out[9].n_docs, out[9].n_sources) == ("fr", 1, 1)

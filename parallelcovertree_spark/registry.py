@@ -3892,6 +3892,54 @@ WHERE ca.cell_id = cb.cell_id
 _register_geo_dups()
 
 
+@_register(
+    "langid_confusion",
+    f"""WITH p AS (
+  SELECT lang AS true_lang, {{pred}} AS pred_lang FROM documents
+),
+c AS (
+  SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY 1, 2
+),
+t AS (
+  SELECT true_lang, CAST(SUM(n) AS BIGINT) AS n_true FROM c GROUP BY 1
+)
+SELECT c.true_lang, c.pred_lang, c.n, t.n_true,
+       CAST(c.n AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS share
+FROM c JOIN t ON c.true_lang = t.true_lang
+""",
+)
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: stored label × n-gram-heuristic
+    prediction, with per-true-language shares — the classifier-QA view of
+    the lang_id gate (the accuracy audit every corpus pipeline runs on its
+    cheap-classifier stage). One codegen projection + two cell-cardinality
+    aggregates."""
+    pred = F.expr(_langid_case_sql())
+    p = _docs(spark, sf_dir).select(
+        F.col("lang").alias("true_lang"), pred.alias("pred_lang")
+    )
+    c = p.groupBy("true_lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("true_lang")
+    return c.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.sum("n").over(w).alias("n_true"),
+    ).select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        "n_true",
+        (F.col("n").cast("double") / F.col("n_true").cast("double")).alias("share"),
+    )
+
+
+_ORACLES["langid_confusion"] = _ORACLES["langid_confusion"].format(
+    pred=_langid_case_sql()
+)
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

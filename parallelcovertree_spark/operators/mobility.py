@@ -106,8 +106,12 @@ def radius_of_gyration(
     x: str = "x",
     y: str = "y",
 ) -> DataFrame:
-    """(user_id, n_events, rg_micro): root-mean-square distance of a user's
-    event positions from their own centroid, in micro-units.
+    """(user_id, n_events, rg_milli): root-mean-square distance of a user's
+    event positions from their own centroid, in MILLI-units (10^3 x the
+    coordinate unit): per-event squared deviations are computed in micro^2
+    (10^12 x unit^2) and floor-divided by 1e6 before the mean, so the final
+    sqrt is scaled by 10^3. (ADVICE r4: column renamed from the mis-scaled
+    ``rg_micro``.)
 
     Exactness: coordinates are floor-quantized to integer micro-units and
     summed (exact BIGINT) → the centroid is ONE division of exact ints;
@@ -147,7 +151,7 @@ def radius_of_gyration(
         "n_events",
         F.sqrt(
             F.col("sdev").cast("double") / F.col("n_events").cast("double")
-        ).alias("rg_micro"),
+        ).alias("rg_milli"),
     )
 
 
@@ -177,7 +181,7 @@ d AS (
   FROM c
 )
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-       SQRT(CAST(SUM(dev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS rg_micro
+       SQRT(CAST(SUM(dev) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS rg_milli
 FROM d GROUP BY user_id"""
 
 

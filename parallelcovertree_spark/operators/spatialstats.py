@@ -555,6 +555,13 @@ def idw_interpolate(
     integer weights w = floor(1e9/(d²+1e-3)) so sums are exact BIGINTs and
     ``idw_value`` one IEEE division.
 
+    Weight range: the 1e9 scale resolves distances up to d² < 1e9 coordinate
+    units² (w floors to 0 beyond ~31623 units; at d²=1, w≈1e9 — no overflow
+    risk until ~9e9 neighbors/query). A neighbor past that range contributes
+    zero weight but still counts in ``n_nbrs``; if ALL k neighbors are that
+    far, ``sum_w`` is 0 and ``idw_value`` is NULL (guarded — never 0/0=NaN),
+    signaling "no usable measurement in range" (ADVICE r4).
+
     Plan: the certified two-table block-kernel kNN (queries ship once into
     their grid block, never all-pairs), then two id-keyed hash joins
     re-attach coordinates and the measured value, and a query-keyed
@@ -595,9 +602,10 @@ def idw_interpolate(
         "n_nbrs",
         "sum_w",
         "sum_wv",
-        (F.col("sum_wv").cast("double") / F.col("sum_w").cast("double")).alias(
-            "idw_value"
-        ),
+        F.when(
+            F.col("sum_w") > 0,
+            F.col("sum_wv").cast("double") / F.col("sum_w").cast("double"),
+        ).alias("idw_value"),
     )
 
 

@@ -100,11 +100,19 @@ class SnapshotTable:
             return self.latest_snapshot_id()  # legacy: newest manifest
         raise ValueError(f"unknown branch {branch!r}")
 
-    def _ancestors(self, snapshot_id: int) -> set[int]:
+    def _ancestors(self, snapshot_id: int, stop_at: int | None = None) -> set[int]:
+        """Ancestry chain of ``snapshot_id`` (inclusive). Stops early once
+        ``stop_at`` is reached, and stops (rather than raising) at a manifest
+        expire_snapshots removed — an expired chain simply ends there."""
         chain, sid = set(), snapshot_id
         while sid is not None:
             chain.add(sid)
-            sid = self._manifest(sid).get("parent_id")
+            if sid == stop_at:
+                break
+            try:
+                sid = self._manifest(sid).get("parent_id")
+            except FileNotFoundError:
+                break
         return chain
 
     def create_branch(self, name: str, at: int | None = None) -> int:
@@ -141,7 +149,7 @@ class SnapshotTable:
             raise ValueError(f"unknown branch {branch!r}")
         head = refs[branch]
         main = self._resolve_head("main")
-        if main is not None and main not in self._ancestors(head):
+        if main is not None and main not in self._ancestors(head, stop_at=main):
             raise ValueError(
                 f"publish({branch!r}) is not a fast-forward: main at "
                 f"{main} is not an ancestor of {head}"
@@ -463,14 +471,21 @@ class SnapshotTable:
             return []
         kept = hist[-keep_last:] if keep_last > 0 else []
         dropped = hist[:-keep_last] if keep_last > 0 else hist
-        # branch heads are pinned: a staged-but-unpublished branch must not
-        # lose its head (or the ancestors its partition_dirs reference —
-        # covered below by dir reachability over kept manifests)
+        # branch heads are pinned, TOGETHER with each head's manifest
+        # ancestry back to main: publish() verifies fast-forward by walking
+        # parent_id from the head until it finds main, so every manifest on
+        # that chain must survive expiry or a legal publish after routine
+        # maintenance would crash. (Data-dir reachability for the pinned
+        # manifests is covered below by reachability over kept manifests.)
         heads = set(self.refs().values())
         if heads:
-            pinned = [m for m in dropped if m["snapshot_id"] in heads]
+            main = self._resolve_head("main")
+            pinned_ids: set[int] = set()
+            for h in heads:
+                pinned_ids |= self._ancestors(h, stop_at=main)
+            pinned = [m for m in dropped if m["snapshot_id"] in pinned_ids]
             kept = kept + pinned
-            dropped = [m for m in dropped if m["snapshot_id"] not in heads]
+            dropped = [m for m in dropped if m["snapshot_id"] not in pinned_ids]
         reachable: set[str] = set()
         for man in kept:
             if man.get("partition_dirs"):

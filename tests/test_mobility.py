@@ -57,13 +57,13 @@ def test_radius_of_gyration_matches_numpy(spark):
         dev = np.floor(((xq - cx) ** 2 + (yq - cy) ** 2) / 1e6).astype(np.int64)
         want = math.sqrt(dev.sum() / len(dev))
         assert got[u]["n_events"] == len(pts)
-        assert got[u]["rg_micro"] == pytest.approx(want, rel=1e-12)
+        assert got[u]["rg_milli"] == pytest.approx(want, rel=1e-12)
 
 
 def test_radius_of_gyration_stationary_user_is_zero(spark):
     ev = spark.createDataFrame([(7, 2.25, -3.5)] * 4, "user_id long, x double, y double")
     r = radius_of_gyration(ev).collect()[0]
-    assert (r["n_events"], r["rg_micro"]) == (4, 0.0)
+    assert (r["n_events"], r["rg_milli"]) == (4, 0.0)
 
 
 def test_colocation_multiplicity_collapses(spark):

@@ -107,3 +107,57 @@ def test_legacy_tables_stay_refs_free(tmp_path, spark):
     t.delete(spark, "k = 1")
     assert not os.path.exists(str(tmp_path / "t" / "refs.json"))
     assert _rows(t.read(spark)) == {(2, "de", 20)}
+
+
+def test_publish_survives_expiry_of_intermediate_ancestors(tmp_path, spark):
+    """ADVICE r4 (medium): expire_snapshots pinned only branch-head manifests;
+    publish() walks the full parent_id chain, so a branch with TWO staged
+    merges + expire(keep_last=1) made a legal fast-forward publish raise
+    FileNotFoundError. The head→main manifest ancestry must survive expiry."""
+    t = _mk(spark, tmp_path / "t", [(1, "en", 10)])
+    t.create_branch("audit")
+    # two staged merges → an INTERMEDIATE manifest between main and the head
+    t.merge(
+        spark,
+        spark.createDataFrame([(2, "de", 20)], "k long, lang string, v long"),
+        "k",
+        branch="audit",
+    )
+    t.merge(
+        spark,
+        spark.createDataFrame([(3, "fr", 30)], "k long, lang string, v long"),
+        "k",
+        branch="audit",
+    )
+    t.expire_snapshots(keep_last=1)  # routine maintenance
+    t.publish("audit")  # fast-forward is legal — must not raise
+    assert _rows(t.read(spark)) == {(1, "en", 10), (2, "de", 20), (3, "fr", 30)}
+
+
+def test_expire_still_drops_unreferenced_history_with_branches(tmp_path, spark):
+    """Ancestry pinning must not neuter expiry: main-line manifests BELOW the
+    branch point that no ref chain needs still expire."""
+    t = _mk(spark, tmp_path / "t", [(1, "en", 10)])
+    old_ids = []
+    for v in range(3):  # main-line history before the branch
+        old_ids.append(
+            t.merge(
+                spark,
+                spark.createDataFrame(
+                    [(10 + v, "en", v)], "k long, lang string, v long"
+                ),
+                "k",
+            )
+        )
+    t.create_branch("audit")
+    t.merge(
+        spark,
+        spark.createDataFrame([(2, "de", 20)], "k long, lang string, v long"),
+        "k",
+        branch="audit",
+    )
+    expired = t.expire_snapshots(keep_last=1)
+    # pre-branch main history (below main's pinned head) is expirable
+    assert set(old_ids[:-1]) <= set(expired)
+    t.publish("audit")
+    assert (2, "de", 20) in _rows(t.read(spark))

@@ -360,3 +360,18 @@ def test_cross_k_colocated_exceeds_segregated(spark):
 
     assert k_at(near, 0.5) > 0
     assert k_at(far, 0.5) == 0  # segregated: zero cross pairs, k_est 0
+
+
+def test_idw_all_neighbors_out_of_range_yields_null(spark):
+    """ADVICE r4: when every neighbor is so far that its integer weight
+    floors to 0, sum_w == 0 must yield idw_value NULL — never 0/0 = NaN."""
+    from parallelcovertree_spark.operators.spatialstats import idw_interpolate
+
+    q = spark.createDataFrame([(0, 0.0, 0.0)], "id long, x double, y double")
+    # one corpus point ~1e5 units away → d² = 2e10 > 1e9 scale → w = 0
+    c = spark.createDataFrame(
+        [(1, 1.0e5, 1.0e5, 42)], "id long, x double, y double, v long"
+    )
+    r = idw_interpolate(q, c, k=2).collect()[0]
+    assert (r["n_nbrs"], r["sum_w"]) == (1, 0)
+    assert r["idw_value"] is None

@@ -49,6 +49,12 @@ from pyspark.sql import functions as F
 from parallelcovertree_spark.operators.simsearch import quantize
 
 _SLACK = 1e-9  # absolute slack on the sqrt-space prune test (conservative)
+# cosine routing runs on float64 unit vectors: |u|² = 1 ± few·2⁻⁵², and the
+# exact-cos → unit-sphere-distance bound conversion (d²_u = 2 − 2·cos) differs
+# from the computed u-space distances by ≲1e-15 in d² — ≲3e-8 in sqrt space
+# once the sqrt amplifies near d = 0. 1e-6 dominates that by 30× and costs
+# nothing in pruning power (hub radii are O(1) on the unit sphere).
+_SLACK_COS = 1e-6
 _BLOCK = 1024  # row block for pairwise-distance kernels
 
 
@@ -60,6 +66,42 @@ def _pairwise_d2(X: np.ndarray, Y: np.ndarray) -> np.ndarray:
         + (Y * Y).sum(axis=1)[None, :]
         - 2.0 * (X @ Y.T)
     )
+
+
+def _scores(X: np.ndarray, Y: np.ndarray, metric: str) -> np.ndarray:
+    """Pairwise ranking-score matrix, ascending = better.
+
+    l2: exact squared L2 (int-valued float64). cosine: NEGATED exact cosine
+    over the quantized integer vectors — dot / (sqrt(n2_a)·sqrt(n2_b)), the
+    same IEEE expression tree the SQL oracle evaluates (integer dot products
+    and norms² are exact in float64; sqrt, ·, / are correctly rounded in
+    every engine), so ranking by score asc, id asc is bit-identical to the
+    oracle's ORDER BY cos DESC, dst."""
+    if metric == "l2":
+        return _pairwise_d2(X, Y)
+    na = np.sqrt((X * X).sum(axis=1))
+    nb = np.sqrt((Y * Y).sum(axis=1))
+    return -((X @ Y.T) / (na[:, None] * nb[None, :]))
+
+
+def _unitize(X: np.ndarray, metric: str) -> np.ndarray:
+    """Routing-geometry coordinates: X itself under l2; unit-normalized rows
+    under cosine (cos desc ordering == L2 asc ordering on the unit sphere).
+    Used ONLY for hub selection / assignment / triangle bounds — the ranking
+    comparator always comes from :func:`_scores` on the raw integer vectors."""
+    if metric == "l2":
+        return X
+    n = np.sqrt((X * X).sum(axis=1))
+    n = np.where(n == 0.0, 1.0, n)
+    return X / n[:, None]
+
+
+def _bound_d2(score_k: np.ndarray, metric: str) -> np.ndarray:
+    """k-th ranking score → squared routing-space distance bound
+    (identity under l2; d²_u = 2 − 2·cos on the unit sphere)."""
+    if metric == "l2":
+        return score_k
+    return np.maximum(2.0 + 2.0 * score_k, 0.0)
 
 
 def _fps(X: np.ndarray, n_hubs: int) -> np.ndarray:
@@ -97,12 +139,22 @@ def hub_knn_highdim(
     vec_col: str = "embedding",
     sample_cap: int = 4096,
     stats: dict | None = None,
+    metric: str = "l2",
 ) -> DataFrame:
-    """(src, nbr_rank, dst) — exact L2 top-k over an embedding column.
+    """(src, nbr_rank, dst) — exact top-k over an embedding column.
+
+    ``metric``: ``"l2"`` (squared euclidean, ties → lowest dst) or
+    ``"cosine"`` (cos desc, ties → lowest dst — the oracle's exact
+    comparator on quantized integers; routing runs on unit vectors where
+    cos ordering is an L2 ordering, so the same triangle-inequality hub
+    machinery applies unchanged, see _scores/_unitize/_bound_d2).
 
     Pass a dict as ``stats`` to get pruning diagnostics back (extra count
     jobs, measurement only): ``n`` vectors, ``visits`` refinement routings
     (n·(n_hubs−1) would be no pruning), ``n_hubs``."""
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"unknown metric {metric!r}")
+    slack = _SLACK if metric == "l2" else _SLACK_COS
     spark = emb.sparkSession
     q = emb.select(F.col(id_col).alias("src"), quantize(vec_col).alias("qv"))
 
@@ -114,7 +166,7 @@ def hub_knn_highdim(
     )
     if len(sample) < n_hubs:
         sample = q.limit(sample_cap).collect()
-    SX = np.asarray([r.qv for r in sample], dtype=np.float64)
+    SX = _unitize(np.asarray([r.qv for r in sample], dtype=np.float64), metric)
     hub_mat = SX[_fps(SX, n_hubs)]
     n_hubs_eff = len(hub_mat)
     sc = spark.sparkContext
@@ -126,7 +178,9 @@ def hub_knn_highdim(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.asarray(pdf["qv"].tolist(), dtype=np.float64)
+            X = _unitize(
+                np.asarray(pdf["qv"].tolist(), dtype=np.float64), metric
+            )
             d2 = _pairwise_d2(X, H)
             h = d2.argmin(axis=1)
             yield pd.DataFrame(
@@ -164,12 +218,13 @@ def hub_knn_highdim(
         frames = []
         for lo in range(0, m, _BLOCK):
             Q = X[lo : lo + _BLOCK]
-            d2 = _pairwise_d2(Q, X)
+            d2 = _scores(Q, X, metric)
             d2[np.arange(len(Q)), lo + np.arange(len(Q))] = np.inf  # self
             rows, dst, dd = _topk_rows(d2, ids, min(k, m - 1))
-            # k-th current distance per block row; NaN = fewer than k found
+            # k-th bound per block row, mapped to ROUTING-space squared
+            # distance (identity under l2); NaN = fewer than k found
             kth = (
-                np.sort(d2, axis=1)[:, k - 1]
+                _bound_d2(np.sort(d2, axis=1)[:, k - 1], metric)
                 if m - 1 >= k
                 else np.full(len(Q), np.nan)
             )
@@ -212,10 +267,12 @@ def hub_knn_highdim(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.asarray(pdf["qv"].tolist(), dtype=np.float64)
+            X = _unitize(
+                np.asarray(pdf["qv"].tolist(), dtype=np.float64), metric
+            )
             dh = np.sqrt(np.maximum(_pairwise_d2(X, H), 0.0))
             dk = np.sqrt(pdf["d2k"].to_numpy())  # NaN propagates = unbounded
-            need = (dh - R[None, :]) <= (dk[:, None] + _SLACK)
+            need = (dh - R[None, :]) <= (dk[:, None] + slack)
             need |= np.isnan(dk)[:, None]
             need[np.arange(len(X)), pdf["hub"].to_numpy()] = False  # home done
             rows, hubs = np.nonzero(need)
@@ -247,7 +304,7 @@ def hub_knn_highdim(
         vids = visitors["src"].to_numpy()
         out = []
         for lo in range(0, len(V), _BLOCK):
-            d2 = _pairwise_d2(V[lo : lo + _BLOCK], M)
+            d2 = _scores(V[lo : lo + _BLOCK], M, metric)
             rows, dst, dd = _topk_rows(d2, mids, k)
             out.append(
                 pd.DataFrame({"src": vids[lo + rows], "dst": dst, "d2": dd})

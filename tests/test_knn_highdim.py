@@ -189,3 +189,97 @@ def test_two_table_query_in_corpus_ranks_itself_first(spark):
     queries = [(i, v) for i, v in corpus if i % 9 == 0]
     got = {(r.src, r.nbr_rank, r.dst) for r in rows}
     assert got == _brute_2t(corpus, queries, k=3)
+
+
+# --- cosine metric (VERDICT r4: ann_cosine_topk without a CartesianProduct) --
+
+
+def _brute_cos(rows, k: int) -> set[tuple[int, int, int]]:
+    """Oracle comparator: cos = dot_q/(sqrt(n2a)*sqrt(n2b)) on quantized
+    ints, rank cos DESC then id ASC."""
+    ids = np.array([r[0] for r in rows])
+    Q = np.round(np.array([r[1] for r in rows], dtype=np.float64) * 10_000)
+    n = np.sqrt((Q * Q).sum(axis=1))
+    cos = (Q @ Q.T) / (n[:, None] * n[None, :])
+    np.fill_diagonal(cos, -np.inf)
+    out = set()
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -cos[i]))[: min(k, len(ids) - 1)]
+        for rk, j in enumerate(order, start=1):
+            out.add((int(ids[i]), rk, int(ids[j])))
+    return out
+
+
+def test_cosine_matches_brute_force(spark):
+    rows = _mk_vecs(300, seed=11)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.src, r.nbr_rank, r.dst)
+        for r in hub_knn_highdim(df, k=5, n_hubs=8, metric="cosine").collect()
+    }
+    assert got == _brute_cos(rows, k=5)
+
+
+def test_cosine_exact_regardless_of_hub_count(spark):
+    rows = _mk_vecs(220, seed=3)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(
+        map(tuple, hub_knn_highdim(df, k=4, n_hubs=2, metric="cosine").collect())
+    )
+    b = sorted(
+        map(tuple, hub_knn_highdim(df, k=4, n_hubs=24, metric="cosine").collect())
+    )
+    assert a == b
+
+
+def test_cosine_matches_crossjoin_baseline(spark):
+    """The hub plan must reproduce simsearch.cosine_topk (the by-definition
+    crossJoin the registered gate used to run) row for row."""
+    from parallelcovertree_spark.operators.simsearch import cosine_topk
+
+    rows = _mk_vecs(150, seed=23)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    hub = sorted(
+        map(tuple, hub_knn_highdim(df, k=6, n_hubs=6, metric="cosine").collect())
+    )
+    base = sorted(map(tuple, cosine_topk(df, k=6).collect()))
+    assert hub == base
+
+
+def test_cosine_scale_invariant_ranking(spark):
+    """Cosine ignores magnitude: scaling every vector by a positive constant
+    must not change the neighbor ranking (L2 would reshuffle everything)."""
+    rows = _mk_vecs(120, seed=5)
+    scaled = [(i, [3.0 * v for v in vec]) for i, vec in rows]
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df2 = spark.createDataFrame(scaled, "vec_id long, embedding array<float>")
+    a = sorted(
+        map(tuple, hub_knn_highdim(df1, k=3, n_hubs=8, metric="cosine").collect())
+    )
+    b = sorted(
+        map(tuple, hub_knn_highdim(df2, k=3, n_hubs=8, metric="cosine").collect())
+    )
+    assert a == b
+
+
+def test_cosine_pruning_skips_far_hubs(spark):
+    """Angularly-clustered data: refinement must visit far fewer than
+    n·(n_hubs−1) hubs — the triangle bound carries to the unit sphere."""
+    rng = np.random.default_rng(41)
+    centers = rng.normal(size=(6, DIM))
+    centers /= np.sqrt((centers**2).sum(axis=1))[:, None]
+    rows = []
+    for i in range(360):
+        c = centers[i % 6]
+        v = c + 0.02 * rng.normal(size=DIM)
+        rows.append((i, (v / np.sqrt((v**2).sum())).astype(np.float32).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats: dict = {}
+    got = {
+        (r.src, r.nbr_rank, r.dst)
+        for r in hub_knn_highdim(
+            df, k=5, n_hubs=12, metric="cosine", stats=stats
+        ).collect()
+    }
+    assert got == _brute_cos(rows, k=5)
+    assert stats["visits"] < 0.5 * stats["n"] * (stats["n_hubs"] - 1)

@@ -21,7 +21,7 @@ engines) — deterministic, partition-count-independent, and reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -292,6 +292,7 @@ def repetition_stats(
 def sequence_packing(
     docs: DataFrame, block: int = 1024, text_col: str = "text",
     id_col: str = "doc_id", shard_col: str = "lang",
+    token_count: Column | None = None,
 ) -> DataFrame:
     """Training-sequence assembly (concat-then-chunk): within each shard,
     documents concatenate in id order and split into fixed ``block``-token
@@ -307,9 +308,15 @@ def sequence_packing(
     # NON-EMPTY token count — must agree with this module's tokenizer
     # (_tokens drops empty split results): the spaces+1 formula would count
     # phantom tokens on double-space/empty docs and shift every later doc's
-    # packing position in the shard
-    tok = F.expr(
-        f"CAST(size(filter(split({text_col}, ' '), x -> x != '')) AS BIGINT)"
+    # packing position in the shard. ``token_count`` overrides the
+    # denomination (e.g. real BPE counts, functions/bpe.py) — packing math
+    # below is tokenizer-agnostic integer window arithmetic.
+    tok = (
+        token_count.cast("long")
+        if token_count is not None
+        else F.expr(
+            f"CAST(size(filter(split({text_col}, ' '), x -> x != '')) AS BIGINT)"
+        )
     )
     w = Window.partitionBy(shard_col).orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

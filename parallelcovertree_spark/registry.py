@@ -365,6 +365,120 @@ def token_count_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- real merge-table BPE (r4 'missing' #2 / task #3) -------------------------
+#
+# functions/bpe.py: merges learned from a deterministic 200-doc sample via
+# M distributed pair-count jobs; application is ONE codegen replace-chain
+# projection. The oracle replays learning (staged CTEs, same counts and
+# tie-breaks) AND application (same replace chain) — the full algorithm is
+# DuckDB-checked, not a planted invariant.
+
+from parallelcovertree_spark.functions import bpe as _bpe  # noqa: E402
+
+_BPE_ORACLE = f"""WITH {_bpe.learning_cte_sql()}
+SELECT doc_id,
+       CAST(LENGTH(s) AS BIGINT) AS n_chars_norm,
+       CAST(LENGTH({_bpe.apply_sql('s')}) AS BIGINT) AS n_tokens_bpe
+FROM norm"""
+
+
+@_register("bpe_token_count", _BPE_ORACLE)
+def bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE token count (functions/bpe.py): merge table learned from
+    the corpus (most-frequent-pair fusion, 24 merges, ties to the
+    lexicographically smallest pair), applied as one codegen replace-chain
+    projection. (doc_id, n_chars_norm, n_tokens_bpe) — the difference is
+    the number of merge events in the doc."""
+    docs = _docs(spark, sf_dir)
+    merges = _bpe.learn_merges(docs)
+    return docs.select(
+        "doc_id",
+        F.length(F.lower(F.col("text"))).cast("long").alias("n_chars_norm"),
+        _bpe.bpe_token_count_col("text", merges).alias("n_tokens_bpe"),
+    )
+
+
+_BPE_PACK_BLOCK = 1024
+
+
+@_register(
+    "sequence_packing_bpe",
+    f"""WITH {_bpe.learning_cte_sql()},
+d AS (
+  SELECT n2.doc_id, d0.lang,
+         CAST(LENGTH({_bpe.apply_sql('n2.s')}) AS BIGINT) AS n_tokens
+  FROM norm n2 JOIN documents d0 ON d0.doc_id = n2.doc_id
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT doc_id, lang, n_tokens,
+       CAST((cum - n_tokens) // {_BPE_PACK_BLOCK} AS BIGINT) AS start_seq,
+       CAST((cum - n_tokens) % {_BPE_PACK_BLOCK} AS BIGINT) AS start_offset,
+       CAST(GREATEST(cum - 1, cum - n_tokens) // {_BPE_PACK_BLOCK} AS BIGINT) AS end_seq
+FROM c
+""",
+)
+def sequence_packing_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing denominated in REAL BPE tokens (the budget
+    a trainer actually bills by) instead of whitespace tokens: same
+    per-shard running-sum plan, token counts from the learned merge table."""
+    from parallelcovertree_spark.operators.corpus import sequence_packing
+
+    docs = _docs(spark, sf_dir)
+    merges = _bpe.learn_merges(docs)
+    return sequence_packing(
+        docs, block=_BPE_PACK_BLOCK,
+        token_count=_bpe.bpe_token_count_col("text", merges),
+    )
+
+
+@_register(
+    "doc_token_moments_bpe",
+    f"""WITH {_bpe.learning_cte_sql()},
+t AS (
+  SELECT d0.lang, CAST(LENGTH({_bpe.apply_sql('n2.s')}) AS BIGINT) AS len
+  FROM norm n2 JOIN documents d0 ON d0.doc_id = n2.doc_id
+),
+s AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(len) AS BIGINT) AS s1,
+         CAST(SUM(len * len) AS BIGINT) AS s2
+  FROM t GROUP BY lang
+)
+SELECT lang, n, s1, s2,
+       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_len,
+       CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS var_len
+FROM s
+""",
+)
+def doc_token_moments_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BPE-token-length profile (mean/variance via exact
+    BIGINT power sums) — the corpus-QA moments pass denominated in real
+    tokenizer output."""
+    docs = _docs(spark, sf_dir)
+    merges = _bpe.learn_merges(docs)
+    length = _bpe.bpe_token_count_col("text", merges)
+    agg = docs.select(docs.lang, length.alias("len")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("len").alias("s1"),
+        F.sum(F.col("len") * F.col("len")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "lang", "n", "s1", "s2",
+        mean.alias("mean_len"),
+        (F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean).alias(
+            "var_len"
+        ),
+    )
+
+
 @_register(
     "quality_score",
     f"""SELECT doc_id,
@@ -3016,6 +3130,7 @@ from parallelcovertree_spark.operators.hotspot import (  # noqa: E402
     cell_daily_anomaly,
 )
 from parallelcovertree_spark.operators.mobility import (  # noqa: E402
+    COLOCATION_CAPPED_ORACLE_SQL_TEMPLATE,
     COLOCATION_ORACLE_SQL_TEMPLATE,
     HOME_CELL_ORACLE_SQL_TEMPLATE,
     RADIUS_GYRATION_ORACLE_SQL_TEMPLATE,
@@ -3073,25 +3188,55 @@ def radius_of_gyration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COLO_BUCKET_US = 21_600_000_000  # 6-hour proximity slots
 
 
+_COLO_MAX_SLOT_USERS = 64  # stadium guard — production default (r4 #6)
+
+
+def _colo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.expr(NTZ_EPOCH_US.format(ts="ts")).alias("us"),
+        geo.x_col("event_id").alias("x"),
+        geo.y_col("event_id").alias("y"),
+    )
+
+
 @_register(
     "colocation_pairs",
+    COLOCATION_CAPPED_ORACLE_SQL_TEMPLATE.format(
+        ev_cte=_EV_US_XY_CTE,
+        bucket_us=_COLO_BUCKET_US,
+        cell_sql=cell_id_sql("x", "y", TILE_RES),
+        max_slot_users=_COLO_MAX_SLOT_USERS,
+    ),
+)
+def colocation_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User pairs sharing (6-hour bucket, tile) slots with distinct-slot
+    counts — proximity analytics, with the stadium guard ON (slots holding
+    more than 64 users excluded, oracle replays the same exclusion; a hot
+    slot emits s² pair rows and carries no proximity signal anyway)
+    (operators/mobility.py::colocation_pairs)."""
+    return colocation_pairs(
+        _colo_events(spark, sf_dir), TILE_RES, _COLO_BUCKET_US,
+        max_slot_users=_COLO_MAX_SLOT_USERS,
+    )
+
+
+@_register(
+    "colocation_pairs_uncapped",
     COLOCATION_ORACLE_SQL_TEMPLATE.format(
         ev_cte=_EV_US_XY_CTE,
         bucket_us=_COLO_BUCKET_US,
         cell_sql=cell_id_sql("x", "y", TILE_RES),
     ),
 )
-def colocation_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """User pairs sharing (6-hour bucket, tile) slots with distinct-slot
-    counts — proximity analytics. Visit multiplicity collapsed BEFORE the
-    slot self-join (operators/mobility.py::colocation_pairs)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id",
-        F.expr(NTZ_EPOCH_US.format(ts="ts")).alias("us"),
-        geo.x_col("event_id").alias("x"),
-        geo.y_col("event_id").alias("y"),
+def colocation_pairs_uncapped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncapped parity variant of colocation_pairs (max_slot_users=None):
+    full by-definition semantics, quadratic in hot-slot population — kept
+    for certification, not production."""
+    return colocation_pairs(
+        _colo_events(spark, sf_dir), TILE_RES, _COLO_BUCKET_US,
+        max_slot_users=None,
     )
-    return colocation_pairs(ev, TILE_RES, _COLO_BUCKET_US)
 
 
 @_register(
@@ -3993,7 +4138,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "raster_vector_join",
     # text analysis family
     "token_count",
-    "token_count_bpe",
+    "bpe_token_count",  # REAL merge-table BPE (r5); regex twin stays in tail
     "quality_score",
     "lang_id",
     "doc_quality_profile",

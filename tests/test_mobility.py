@@ -169,3 +169,21 @@ def test_colocation_hot_slot_cap_excludes_stadium(spark):
     }
     # stadium slot dropped entirely; the quiet slot survives
     assert capped == {(1, 2): 1}
+
+
+def test_colocation_default_is_capped(spark):
+    """r4 verdict #6: the production DEFAULT must carry the stadium guard —
+    a slot with more than 64 users is excluded without asking."""
+    day = 86_400_000_000
+    rows = [(u, 100 + u, 0.5, 0.5) for u in range(1, 70)] + [
+        (1, day + 1, 0.5, 0.5),
+        (2, day + 2, 0.5, 0.5),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, us long, x double, y double")
+    got = {
+        (r.user_a, r.user_b): r.n_slots
+        for r in colocation_pairs(ev, 1.0, day).collect()  # default cap=64
+    }
+    assert got == {(1, 2): 1}  # 69-user slot dropped; quiet slot kept
+    full = colocation_pairs(ev, 1.0, day, max_slot_users=None).count()
+    assert full == 69 * 68 // 2  # uncapped parity variant sees it all

@@ -500,3 +500,81 @@ def dedup_clusters(
             "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
         )
     )
+
+
+# --- exact-substring verify-and-trim (Lee et al. 2022, stage 2) ---------------
+
+
+def dup_spans_trim(
+    docs: "DataFrame",
+    w: int = PASSAGE_W,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """(doc_id, n_tokens, n_removed_spans, n_removed_tokens, trimmed_sha):
+    the verify/trim stage on top of :func:`dup_passages` — Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") stage 2.
+    A length-``w`` token window is a VERIFIED duplicate when its content
+    digest (sha2 of the space-joined window) occurs more than once in the
+    corpus — content equality, not just rolling-hash candidacy, so hash
+    collisions cannot trim good text. Every token covered by a verified
+    window is removed; maximal runs of removed tokens are the spans;
+    ``trimmed_sha`` is sha2-256 of the surviving tokens re-joined with
+    single spaces (docs trimmed to nothing hash the empty string).
+
+    Plan (scale shape):
+    - ONE codegen HOF projection per doc computes all window digests inside
+      the scan stage (tokens never leave the executor);
+    - the only corpus-volume shuffle is the digest-keyed count — 32-byte
+      fixed keys, map-side partials absorb hot boilerplate windows;
+    - duplicated window STARTS flow back as one per-doc array (collect_set
+      after the count join — output volume is dup windows, not windows);
+    - trimming is again pure HOF arithmetic: coverage test per token index,
+      span count from sorted starts (a break iff the gap between successive
+      starts exceeds ``w`` — equal-length windows make coverage ends
+      monotone), filter + re-join + sha2. No token-volume shuffle anywhere.
+
+    Cites reference test discipline: programs/epsilon_graph.cpp ground-truth
+    style — exact rule, replayed by the DuckDB oracle via gaps-and-islands.
+    """
+    arr = f"filter(split({text_col}, ' '), t -> t <> '')"
+    win_d = (
+        f"IF(size(tk) >= {w}, "
+        f"transform(sequence(1, size(tk) - {w} + 1), "
+        f"i -> sha2(array_join(slice(tk, i, {w}), ' '), 256)), "
+        f"array())"
+    )
+    base = docs.select(F.col(id_col), F.expr(arr).alias("tk"))
+    wins = base.select(
+        F.col(id_col), F.posexplode(F.expr(win_d)).alias("p0", "d")
+    ).select(F.col(id_col), (F.col("p0") + 1).alias("i"), "d")
+    counts = wins.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    dup_starts = (
+        wins.join(counts, "d")
+        .where(F.col("c") > 1)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("i")).alias("ss"))
+    )
+    joined = base.join(dup_starts, id_col, "left").select(
+        F.col(id_col),
+        "tk",
+        F.coalesce(F.col("ss"), F.expr("array()")).alias("ss"),
+    )
+    covered = (
+        f"exists(ss, s -> s <= j + 1 AND j + 1 < s + {w})"
+    )
+    trimmed = f"filter(tk, (t, j) -> NOT ({covered}))"
+    # size <= 1 guard: sequence(2, 1) would DESCEND in Spark and k-1 = 0
+    # would hit the 1-based element_at under ANSI
+    n_spans = (
+        "IF(size(ss) <= 1, CAST(size(ss) AS BIGINT), "
+        "1 + size(filter(sequence(2, size(ss)), "
+        f"k -> element_at(ss, k) - element_at(ss, k - 1) > {w})))"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.expr("size(tk)").cast("long").alias("n_tokens"),
+        F.expr(n_spans).cast("long").alias("n_removed_spans"),
+        F.expr(f"size(tk) - size({trimmed})").cast("long").alias("n_removed_tokens"),
+        F.expr(f"sha2(array_join({trimmed}, ' '), 256)").alias("trimmed_sha"),
+    )

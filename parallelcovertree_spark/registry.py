@@ -2336,6 +2336,68 @@ def dup_passages_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_passages(_docs(spark, sf_dir))
 
 
+_TRIM_W = 8
+
+_TRIM_ORACLE = f"""WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+),
+ti AS (
+  SELECT doc_id, tk,
+         unnest(range(1, GREATEST(len(tk) - {_TRIM_W} + 2, 1))) AS i
+  FROM t
+),
+wd AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         sha256(array_to_string(tk[CAST(i AS INT):CAST(i + {_TRIM_W} - 1 AS INT)], ' ')) AS d
+  FROM ti
+),
+dupd AS (SELECT d FROM wd GROUP BY d HAVING COUNT(*) > 1),
+ds AS (SELECT wd.doc_id, wd.i FROM wd JOIN dupd USING (d)),
+cov AS (SELECT DISTINCT doc_id, i + unnest(range(0, {_TRIM_W})) AS pos FROM ds),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM cov
+),
+sp AS (
+  SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_removed_spans,
+         CAST(COUNT(*) AS BIGINT) AS n_removed_tokens
+  FROM isl GROUP BY doc_id
+),
+tokpos AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS p FROM t
+),
+keep AS (
+  SELECT tp.doc_id, tp.p, tp.tk[CAST(tp.p AS INT)] AS tok
+  FROM tokpos tp
+  LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.pos = tp.p
+  WHERE cov.pos IS NULL
+),
+tr AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS s FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       COALESCE(sp.n_removed_spans, CAST(0 AS BIGINT)) AS n_removed_spans,
+       COALESCE(sp.n_removed_tokens, CAST(0 AS BIGINT)) AS n_removed_tokens,
+       sha256(COALESCE(tr.s, '')) AS trimmed_sha
+FROM t LEFT JOIN sp USING (doc_id) LEFT JOIN tr USING (doc_id)"""
+
+
+@_register("dup_spans_trim", _TRIM_ORACLE)
+def dup_spans_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup VERIFY+TRIM (Lee et al. 2022 stage 2, r4 task
+    #4): windows verified as duplicates by content digest, covered tokens
+    removed as maximal spans, trimmed text pinned by sha2 — per doc
+    (n_tokens, n_removed_spans, n_removed_tokens, trimmed_sha). Oracle
+    replays coverage with gaps-and-islands SQL
+    (operators/dedup.py::dup_spans_trim)."""
+    from parallelcovertree_spark.operators.dedup import dup_spans_trim
+
+    return dup_spans_trim(_docs(spark, sf_dir), w=_TRIM_W)
+
+
 @_register("dup_passages_engine", None)  # same oracle as dup_passages
 def dup_passages_engine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Independent numpy twin of dup_passages, checked against the SAME
@@ -4152,7 +4214,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "fingerprint_functional",
     "simhash_dup_pairs",
     "ngram_jaccard_dups",
-    "dup_passages",
+    "dup_spans_trim",  # r5: verify+trim supersedes the candidate stage here
     # similarity search family
     "ann_cosine_topk",
     "ann_lsh_buckets",

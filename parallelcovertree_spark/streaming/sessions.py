@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 GAP_US = 600_000_000  # 10 minutes, matches the batch twin
 
@@ -95,4 +95,110 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- out-of-order tolerant variant (r4 'missing' #5) ---------------------------
+#
+# THE PATTERN (documented here for the other stateful ops — dedup, funnel,
+# stay-points follow the same recipe):
+#   1. declare a watermark on the event-time column (delay = the max lateness
+#      the pipeline tolerates; Spark drops rows later than that — the
+#      documented contract, not silent corruption);
+#   2. buffer arriving events in per-key state instead of processing on
+#      arrival;
+#   3. on every invocation, events with ts <= current watermark are MATURE:
+#      sort them by (event-time, id) and run the same automaton the in-order
+#      operator runs — arrival order is now irrelevant below the watermark,
+#      because any row older than the watermark can no longer arrive;
+#   4. keep immature events in state and arm an EVENT-TIME TIMEOUT at the
+#      earliest pending timestamp, so the key flushes when the watermark
+#      passes it even if the user never sends another event.
+#
+# Cost: state carries only the ≤ delay-window tail per key (bounded by
+# arrival rate × delay), and each event is buffered exactly once.
+
+_OOO_STATE_SCHEMA = StructType([
+    StructField("last_us", LongType()),
+    StructField("sid", LongType()),
+    StructField("open_cnt", LongType()),
+    StructField("buf_us", ArrayType(LongType())),
+    StructField("buf_eid", ArrayType(LongType())),
+])
+
+
+def _sessionize_group_ooo(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    wm_us = state.getCurrentWatermarkMs() * 1000
+    if state.exists:
+        last_us, sid, open_cnt, buf_us, buf_eid = state.get
+        buf = list(zip(list(buf_us), list(buf_eid)))
+        if last_us < 0:
+            last_us = None
+    else:
+        last_us, sid, open_cnt, buf = None, 0, 0, []
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            buf.extend(zip(pdf["us"].tolist(), pdf["event_id"].tolist()))
+
+    mature = sorted(e for e in buf if e[0] <= wm_us)
+    pending = [e for e in buf if e[0] > wm_us]
+
+    out: dict[int, int] = {}
+    for us, _eid in mature:
+        if last_us is None or us - last_us > GAP_US:
+            if sid > 0:
+                out[sid] = open_cnt
+            sid += 1
+            open_cnt = 0
+        open_cnt += 1
+        last_us = us
+    if mature:
+        out[sid] = open_cnt  # current (still-open) session
+
+    state.update((
+        last_us if last_us is not None else -1,
+        sid,
+        open_cnt,
+        [e[0] for e in pending],
+        [e[1] for e in pending],
+    ))
+    if pending:
+        # flush as soon as the watermark passes the earliest buffered event
+        state.setTimeoutTimestamp(min(e[0] for e in pending) // 1000 + 1)
+
+    uid = key[0]
+    yield pd.DataFrame({
+        "user_id": [uid] * len(out),
+        "session_id": list(out.keys()),
+        "n_events": list(out.values()),
+    })
+
+
+def sessionize_stream_ooo(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
+    """Out-of-order-tolerant sessionizer: identical output to
+    :func:`sessionize_stream` / the batch twin for ANY arrival order in
+    which no event is later than ``delay`` behind the stream's max event
+    time (events later than that are dropped by the watermark — the
+    explicit lateness contract). See the module-pattern comment above."""
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+        "CAST(ts AS TIMESTAMP_NTZ))"
+    )
+    prepared = (
+        events.select(
+            "user_id", "event_id", us.cast("long").alias("us"),
+        )
+        # rebuild the tz-free instant for the watermark clock (same idiom as
+        # jobs.windowed_event_counts)
+        .withColumn("ts_wm", F.timestamp_micros(F.col("us")))
+        .withWatermark("ts_wm", delay)
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group_ooo,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_OOO_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -108,6 +108,7 @@ def l2_q(a: Column, b: Column) -> Column:
 def kmeans_codebook(
     emb: DataFrame, n_centroids: int = 16, iters: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    train_cap: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd-trained IVF codebook → (cid, qc array<long>).
 
@@ -119,22 +120,29 @@ def kmeans_codebook(
     Empty clusters keep their previous centroid. The shuffle per iteration is
     n_centroids × dim rows — nothing at any corpus scale. The final codebook
     collapses to ``n_centroids`` literal rows (collected) so consumers
-    broadcast data, not lineage."""
+    broadcast data, not lineage.
+
+    ``train_cap``: Lloyd iterations run on the deterministic id-prefix
+    sample ``vid < train_cap`` (None = full corpus). Codebook training on
+    a bounded sample is the standard IVF discipline at corpus scale — the
+    per-iteration cost stays constant as the table grows, and the DuckDB
+    oracle replays the same capped training (r4 task #7)."""
     spark = emb.sparkSession
     q = emb.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("qv"))
+    tq = q if train_cap is None else q.where(F.col("vid") < train_cap)
     cents = q.where(F.col("vid") < n_centroids).select(
         F.col("vid").alias("cid"), F.col("qv").alias("qc")
     )
     for _ in range(iters):
         w = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("cid").asc())
         asg = (
-            q.crossJoin(F.broadcast(cents))
+            tq.crossJoin(F.broadcast(cents))
             .withColumn("d2", l2_q(F.col("qv"), F.col("qc")))
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("vid", "cid")
         )
-        flat = asg.join(q, "vid").select("cid", F.posexplode("qv").alias("i", "e"))
+        flat = asg.join(tq, "vid").select("cid", F.posexplode("qv").alias("i", "e"))
         means = flat.groupBy("cid", "i").agg(
             F.floor(F.sum("e").cast("double") / F.count(F.lit(1))).cast("long").alias("m")
         )
@@ -153,6 +161,7 @@ def kmeans_codebook(
 def ivf_assign(
     emb: DataFrame, n_centroids: int = 16, iters: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    train_cap: int | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer: (id, centroid_id) by nearest centroid
     (quantized integer L2, ties → lowest centroid id) against the
@@ -160,7 +169,7 @@ def ivf_assign(
     Centroids broadcast (provably small side); the assignment is one
     map-side pass."""
     q = emb.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("qv"))
-    cents = kmeans_codebook(emb, n_centroids, iters, id_col, vec_col)
+    cents = kmeans_codebook(emb, n_centroids, iters, id_col, vec_col, train_cap)
     d2 = l2_q(F.col("qv"), F.col("qc"))
     w = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("cid").asc())
     return (
@@ -176,6 +185,7 @@ def ivf_topk(
     emb: DataFrame, k: int = 10, nprobe: int = 2, n_centroids: int = 16,
     iters: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    train_cap: int | None = None,
 ) -> DataFrame:
     """IVF ANN search: probe the ``nprobe`` nearest buckets of the
     Lloyd-trained codebook, exact quantized cosine inside them →
@@ -189,7 +199,7 @@ def ivf_topk(
     q = emb.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("qv")).withColumn(
         "n2", dot(F.col("qv"), F.col("qv"))
     )
-    cents = kmeans_codebook(emb, n_centroids, iters, id_col, vec_col)
+    cents = kmeans_codebook(emb, n_centroids, iters, id_col, vec_col, train_cap)
     wprobe = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("cid").asc())
     probes = (
         q.crossJoin(F.broadcast(cents))
@@ -250,10 +260,12 @@ def pq_codebooks(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int | None = None,
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou et al. 2011): an independent
     Lloyd-trained ``n_codes``-entry codebook PER SUBSPACE →
-    (sub, cid, qc array<long>[sub_dim]).
+    (sub, cid, qc array<long>[sub_dim]). ``train_cap`` bounds the Lloyd
+    training set to the id-prefix sample (see kmeans_codebook).
 
     Same integer-exact training discipline as :func:`kmeans_codebook`
     (init = first vectors, FLOOR(sum/count) means, ties → lowest cid,
@@ -263,6 +275,7 @@ def pq_codebooks(
     the final codebook collapses to literal rows for broadcast."""
     spark = emb.sparkSession
     subs = _subvectors(emb, m_sub, sub_dim, id_col, vec_col)
+    tsubs = subs if train_cap is None else subs.where(F.col("vid") < train_cap)
     cents = subs.where(F.col("vid") < n_codes).select(
         "sub", F.col("vid").alias("cid"), F.col("qs").alias("qc")
     )
@@ -271,13 +284,13 @@ def pq_codebooks(
             F.col("d2").asc(), F.col("cid").asc()
         )
         asg = (
-            subs.join(F.broadcast(cents), "sub")
+            tsubs.join(F.broadcast(cents), "sub")
             .withColumn("d2", l2_q(F.col("qs"), F.col("qc")))
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("vid", "sub", "cid")
         )
-        flat = asg.join(subs, ["vid", "sub"]).select(
+        flat = asg.join(tsubs, ["vid", "sub"]).select(
             "sub", "cid", F.posexplode("qs").alias("j", "e")
         )
         means = flat.groupBy("sub", "cid", "j").agg(
@@ -329,6 +342,7 @@ def pq_topk_adc(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance (ADC) top-k: queries keep full precision,
     candidates are their PQ codes; distance ≈ Σ_sub table[sub][code] with
@@ -344,7 +358,7 @@ def pq_topk_adc(
     IVF probe (ivf_topk) so n is the probed fraction, and codes/tables are
     array-packed per entity; the row-form here keeps every step
     SQL-checkable."""
-    books = pq_codebooks(emb, m_sub, sub_dim, n_codes, iters, id_col, vec_col)
+    books = pq_codebooks(emb, m_sub, sub_dim, n_codes, iters, id_col, vec_col, train_cap)
     codes = pq_encode(emb, books, m_sub, sub_dim, id_col, vec_col).select(
         F.col(id_col).alias("dst"), "sub", "code"
     )
@@ -387,6 +401,7 @@ def ivfpq_topk(
     pq_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production billion-scale ANN shape — an IVF coarse
     probe restricts candidates to the ``nprobe`` nearest inverted lists,
@@ -402,8 +417,8 @@ def ivfpq_topk(
     ADC); each costs m_sub lookup-join rows. Both stages reuse the exact
     trained artifacts of :func:`ivf_topk` / :func:`pq_topk_adc`.
     """
-    cents = kmeans_codebook(emb, n_centroids, ivf_iters, id_col, vec_col)
-    books = pq_codebooks(emb, m_sub, sub_dim, n_codes, pq_iters, id_col, vec_col)
+    cents = kmeans_codebook(emb, n_centroids, ivf_iters, id_col, vec_col, train_cap)
+    books = pq_codebooks(emb, m_sub, sub_dim, n_codes, pq_iters, id_col, vec_col, train_cap)
     codes = pq_encode(emb, books, m_sub, sub_dim, id_col, vec_col).select(
         F.col(id_col).alias("dst"), "sub", "code"
     )

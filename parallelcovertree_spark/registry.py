@@ -1446,11 +1446,11 @@ _ANN_DIM = 64
 _ANN_PLANES = 4
 _NEARDUP_TAU = 0.4
 
-_Q_CTE = """WITH q AS (
+_Q_CTE = """WITH q AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, v -> CAST(ROUND(v * 10000) AS BIGINT)) AS qv
   FROM embeddings
 ),
-flat AS (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS e FROM q),
+flat AS MATERIALIZED (SELECT vec_id, generate_subscripts(qv, 1) AS i, unnest(qv) AS e FROM q),
 n AS (SELECT vec_id, SUM(e * e) AS n2 FROM flat GROUP BY vec_id)"""
 
 
@@ -1542,6 +1542,8 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_C = 32
+_ANN_TRAIN_CAP = 2000  # Lloyd training sample: vec_id < cap (>= corpus at sf<=0.1,
+#   a 10% sample at the sf1 smoke — constant-cost training at corpus scale, r4 #7)
 _IVF_NPROBE = 12
 _IVF_ITERS = 2
 
@@ -1552,38 +1554,41 @@ def _ivf_cte(c: int, iters: int) -> str:
     integer-exact in both engines while |sum| < 2^53, which is what lets
     DuckDB replay the training bit-for-bit; empty clusters keep the previous
     centroid (COALESCE). Mirrors operators/simsearch.kmeans_codebook."""
-    parts = [f"cflat0 AS (SELECT vec_id AS cid, i, e AS ce FROM flat WHERE vec_id < {c})"]
+    parts = [
+        f"tflat AS MATERIALIZED (SELECT * FROM flat WHERE vec_id < {_ANN_TRAIN_CAP})",
+        f"cflat0 AS MATERIALIZED (SELECT vec_id AS cid, i, e AS ce FROM flat WHERE vec_id < {c})",
+    ]
     prev = "cflat0"
     for t in range(iters):
         parts.append(
-            f"a2c{t} AS (\n"
+            f"a2c{t} AS MATERIALIZED (\n"
             f"  SELECT f.vec_id, c.cid, SUM((f.e - c.ce) * (f.e - c.ce)) AS d2\n"
-            f"  FROM flat f JOIN {prev} c USING (i) GROUP BY 1, 2\n)"
+            f"  FROM tflat f JOIN {prev} c USING (i) GROUP BY 1, 2\n)"
         )
         parts.append(
-            f"r{t} AS (\n"
+            f"r{t} AS MATERIALIZED (\n"
             f"  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn\n"
             f"  FROM a2c{t}\n)"
         )
-        parts.append(f"asg{t} AS (SELECT vec_id, cid FROM r{t} WHERE rn = 1)")
+        parts.append(f"asg{t} AS MATERIALIZED (SELECT vec_id, cid FROM r{t} WHERE rn = 1)")
         parts.append(
-            f"m{t} AS (\n"
+            f"m{t} AS MATERIALIZED (\n"
             f"  SELECT a.cid, f.i, CAST(FLOOR(CAST(SUM(f.e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ce\n"
-            f"  FROM asg{t} a JOIN flat f ON f.vec_id = a.vec_id GROUP BY 1, 2\n)"
+            f"  FROM asg{t} a JOIN tflat f ON f.vec_id = a.vec_id GROUP BY 1, 2\n)"
         )
         parts.append(
-            f"cflat{t + 1} AS (\n"
+            f"cflat{t + 1} AS MATERIALIZED (\n"
             f"  SELECT c0.cid, c0.i, COALESCE(m{t}.ce, c0.ce) AS ce\n"
             f"  FROM {prev} c0 LEFT JOIN m{t} ON m{t}.cid = c0.cid AND m{t}.i = c0.i\n)"
         )
         prev = f"cflat{t + 1}"
     parts.append(
-        f"a2c AS (\n"
+        f"a2c AS MATERIALIZED (\n"
         f"  SELECT f.vec_id, c.cid, SUM((f.e - c.ce) * (f.e - c.ce)) AS d2\n"
         f"  FROM flat f JOIN {prev} c USING (i) GROUP BY 1, 2\n)"
     )
     parts.append(
-        "ranked AS (\n"
+        "ranked AS MATERIALIZED (\n"
         "  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn\n"
         "  FROM a2c\n)"
     )
@@ -1606,7 +1611,8 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallelcovertree_spark.operators.simsearch import ivf_assign
 
     return ivf_assign(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), _IVF_C, iters=_IVF_ITERS
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), _IVF_C,
+        iters=_IVF_ITERS, train_cap=_ANN_TRAIN_CAP,
     )
 
 
@@ -1644,6 +1650,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
         k=10, nprobe=_IVF_NPROBE, n_centroids=_IVF_C, iters=_IVF_ITERS,
+        train_cap=_ANN_TRAIN_CAP,
     )
 
 
@@ -3390,53 +3397,54 @@ def _pq_cte(n_codes: int, iters: int, sub_dim: int) -> tuple[str, str]:
     vector against the final codebooks. Returns (cte_sql, final_codebook
     CTE name). Mirrors operators/simsearch.pq_codebooks/pq_encode."""
     parts = [
-        f"sflat AS (SELECT vec_id, (i - 1) // {sub_dim} AS sub, "
+        f"sflat AS MATERIALIZED (SELECT vec_id, (i - 1) // {sub_dim} AS sub, "
         f"(i - 1) % {sub_dim} AS j, e FROM flat)",
-        f"pcb0 AS (SELECT sub, vec_id AS cid, j, e AS ce FROM sflat "
+        f"tsflat AS MATERIALIZED (SELECT * FROM sflat WHERE vec_id < {_ANN_TRAIN_CAP})",
+        f"pcb0 AS MATERIALIZED (SELECT sub, vec_id AS cid, j, e AS ce FROM sflat "
         f"WHERE vec_id < {n_codes})",
     ]
     prev = "pcb0"
     for t in range(iters):
         parts.append(
-            f"pa{t} AS (\n"
+            f"pa{t} AS MATERIALIZED (\n"
             f"  SELECT f.vec_id, f.sub, c.cid, SUM((f.e - c.ce) * (f.e - c.ce)) AS d2\n"
-            f"  FROM sflat f JOIN {prev} c ON c.sub = f.sub AND c.j = f.j\n"
+            f"  FROM tsflat f JOIN {prev} c ON c.sub = f.sub AND c.j = f.j\n"
             f"  GROUP BY 1, 2, 3\n)"
         )
         parts.append(
-            f"pr{t} AS (\n"
+            f"pr{t} AS MATERIALIZED (\n"
             f"  SELECT vec_id, sub, cid,\n"
             f"         ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn\n"
             f"  FROM pa{t}\n)"
         )
-        parts.append(f"pasg{t} AS (SELECT vec_id, sub, cid FROM pr{t} WHERE rn = 1)")
+        parts.append(f"pasg{t} AS MATERIALIZED (SELECT vec_id, sub, cid FROM pr{t} WHERE rn = 1)")
         parts.append(
-            f"pm{t} AS (\n"
+            f"pm{t} AS MATERIALIZED (\n"
             f"  SELECT a.sub, a.cid, f.j,\n"
             f"         CAST(FLOOR(CAST(SUM(f.e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ce\n"
-            f"  FROM pasg{t} a JOIN sflat f ON f.vec_id = a.vec_id AND f.sub = a.sub\n"
+            f"  FROM pasg{t} a JOIN tsflat f ON f.vec_id = a.vec_id AND f.sub = a.sub\n"
             f"  GROUP BY 1, 2, 3\n)"
         )
         parts.append(
-            f"pcb{t + 1} AS (\n"
+            f"pcb{t + 1} AS MATERIALIZED (\n"
             f"  SELECT c0.sub, c0.cid, c0.j, COALESCE(m.ce, c0.ce) AS ce\n"
             f"  FROM {prev} c0 LEFT JOIN pm{t} m\n"
             f"    ON m.sub = c0.sub AND m.cid = c0.cid AND m.j = c0.j\n)"
         )
         prev = f"pcb{t + 1}"
     parts.append(
-        f"pe AS (\n"
+        f"pe AS MATERIALIZED (\n"
         f"  SELECT f.vec_id, f.sub, c.cid, SUM((f.e - c.ce) * (f.e - c.ce)) AS d2\n"
         f"  FROM sflat f JOIN {prev} c ON c.sub = f.sub AND c.j = f.j\n"
         f"  GROUP BY 1, 2, 3\n)"
     )
     parts.append(
-        "per AS (\n"
+        "per AS MATERIALIZED (\n"
         "  SELECT vec_id, sub, cid,\n"
         "         ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn\n"
         "  FROM pe\n)"
     )
-    parts.append("pcodes AS (SELECT vec_id, sub, cid AS code FROM per WHERE rn = 1)")
+    parts.append("pcodes AS MATERIALIZED (SELECT vec_id, sub, cid AS code FROM per WHERE rn = 1)")
     return ",\n".join(parts), prev
 
 
@@ -3459,7 +3467,7 @@ def pq_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallelcovertree_spark.operators.simsearch import pq_codebooks, pq_encode
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    books = pq_codebooks(emb, _PQ_M, _PQ_SD, _PQ_CODES, _PQ_ITERS)
+    books = pq_codebooks(emb, _PQ_M, _PQ_SD, _PQ_CODES, _PQ_ITERS, train_cap=_ANN_TRAIN_CAP)
     return pq_encode(emb, books, _PQ_M, _PQ_SD)
 
 
@@ -3495,7 +3503,8 @@ def pq_topk_adc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallelcovertree_spark.operators.simsearch import pq_topk_adc
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return pq_topk_adc(emb, KNN_K, _PQ_NQ, _PQ_M, _PQ_SD, _PQ_CODES, _PQ_ITERS)
+    return pq_topk_adc(emb, KNN_K, _PQ_NQ, _PQ_M, _PQ_SD, _PQ_CODES, _PQ_ITERS,
+                       train_cap=_ANN_TRAIN_CAP)
 
 
 _IVFPQ_NPROBE = 8
@@ -3545,7 +3554,7 @@ def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ivfpq_topk(
         emb, KNN_K, _PQ_NQ, _IVF_C, _IVF_ITERS, _IVFPQ_NPROBE,
-        _PQ_M, _PQ_SD, _PQ_CODES, _PQ_ITERS,
+        _PQ_M, _PQ_SD, _PQ_CODES, _PQ_ITERS, train_cap=_ANN_TRAIN_CAP,
     )
 
 

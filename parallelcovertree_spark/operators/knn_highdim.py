@@ -338,14 +338,20 @@ def hub_knn_highdim_queries(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_cap: int = 4096,
+    metric: str = "l2",
 ) -> DataFrame:
-    """(src, nbr_rank, dst) — exact L2 top-k of each QUERY vector over a
+    """(src, nbr_rank, dst) — exact top-k of each QUERY vector over a
     separate corpus: the retrieval primitive (embed a query set, fetch
     nearest corpus docs). Same hub structure and bounds as
     :func:`hub_knn_highdim`, no self-exclusion (a query identical to a
-    corpus vector ranks it first at d=0, like the 2-D two-table op's
-    default). Queries route to their nearest hub for the local pass, then
-    to every hub the triangle bound cannot exclude."""
+    corpus vector ranks it first, like the 2-D two-table op's default).
+    Queries route to their nearest hub for the local pass, then to every
+    hub the triangle bound cannot exclude. ``metric`` as in
+    :func:`hub_knn_highdim` ("l2" | "cosine" — routing on unit vectors,
+    ranking by the oracle's exact quantized-integer cosine)."""
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"unknown metric {metric!r}")
+    slack = _SLACK if metric == "l2" else _SLACK_COS
     spark = corpus.sparkSession
     c = corpus.select(F.col(id_col).alias("src"), quantize(vec_col).alias("qv"))
     qr = queries.select(F.col(id_col).alias("src"), quantize(vec_col).alias("qv"))
@@ -357,7 +363,7 @@ def hub_knn_highdim_queries(
     )
     if len(sample) < n_hubs:
         sample = c.limit(sample_cap).collect()
-    SX = np.asarray([row.qv for row in sample], dtype=np.float64)
+    SX = _unitize(np.asarray([row.qv for row in sample], dtype=np.float64), metric)
     hub_mat = SX[_fps(SX, n_hubs)]
     n_hubs_eff = len(hub_mat)
     sc = spark.sparkContext
@@ -368,7 +374,9 @@ def hub_knn_highdim_queries(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.asarray(pdf["qv"].tolist(), dtype=np.float64)
+            X = _unitize(
+                np.asarray(pdf["qv"].tolist(), dtype=np.float64), metric
+            )
             d2 = _pairwise_d2(X, H)
             h = d2.argmin(axis=1)
             yield pd.DataFrame(
@@ -405,7 +413,7 @@ def hub_knn_highdim_queries(
         vids = visitors_pdf["src"].to_numpy()
         out = []
         for lo in range(0, len(V), _BLOCK):
-            d2 = _pairwise_d2(V[lo : lo + _BLOCK], M)
+            d2 = _scores(V[lo : lo + _BLOCK], M, metric)
             rows, dst, dd = _topk_rows(d2, mids, k)
             out.append(
                 pd.DataFrame({"src": vids[lo + rows], "dst": dst, "d2": dd})
@@ -426,7 +434,12 @@ def hub_knn_highdim_queries(
         F.max("d2").alias("dmax"), F.count(F.lit(1)).alias("n_found")
     ).select(
         "src",
-        F.when(F.col("n_found") >= k, F.col("dmax")).alias("d2k"),
+        F.when(
+            F.col("n_found") >= k,
+            F.col("dmax")
+            if metric == "l2"
+            else F.greatest(2.0 + 2.0 * F.col("dmax"), F.lit(0.0)),
+        ).alias("d2k"),
     )
     routed = routed_q.join(kth, "src", "left")
 
@@ -436,10 +449,12 @@ def hub_knn_highdim_queries(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.asarray(pdf["qv"].tolist(), dtype=np.float64)
+            X = _unitize(
+                np.asarray(pdf["qv"].tolist(), dtype=np.float64), metric
+            )
             dh = np.sqrt(np.maximum(_pairwise_d2(X, H), 0.0))
             dk = np.sqrt(pdf["d2k"].to_numpy(dtype=np.float64))
-            need = (dh - R[None, :]) <= (dk[:, None] + _SLACK)
+            need = (dh - R[None, :]) <= (dk[:, None] + slack)
             need |= np.isnan(dk)[:, None]
             need[np.arange(len(X)), pdf["hub"].to_numpy()] = False
             rows, hubs = np.nonzero(need)

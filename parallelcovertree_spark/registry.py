@@ -1485,6 +1485,38 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "ann_cosine_retrieval",
+    f"""{_Q_CTE},
+d AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, SUM(a.e * b.e) AS dot
+  FROM flat a JOIN flat b USING (i) WHERE a.vec_id < 100
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT src, dst, dot / (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))) AS cos
+  FROM d JOIN n na ON na.vec_id = d.src JOIN n nb ON nb.vec_id = d.dst
+),
+r AS (SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk FROM c)
+SELECT src, rk AS nbr_rank, dst FROM r WHERE rk <= 10
+""",
+)
+def ann_cosine_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table cosine retrieval (r5): the first 100 embeddings as a query
+    set against the full corpus, exact cosine top-10 via the hub-routed
+    two-table plan (metric="cosine" on hub_knn_highdim_queries) — the
+    embed-a-query-set → fetch-nearest-docs primitive, no self-exclusion
+    (a query present in the corpus ranks itself first)."""
+    from parallelcovertree_spark.operators.knn_highdim import (
+        hub_knn_highdim_queries,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hub_knn_highdim_queries(
+        emb, emb.where(F.col("vec_id") < 100), k=10, metric="cosine"
+    )
+
+
 def _lsh_bucket_sql() -> str:
     # same deterministic integer hyperplanes as simsearch.plane_weight
     from parallelcovertree_spark.operators.simsearch import _WA, _WB, _WM, _WOFF

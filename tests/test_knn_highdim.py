@@ -283,3 +283,32 @@ def test_cosine_pruning_skips_far_hubs(spark):
     }
     assert got == _brute_cos(rows, k=5)
     assert stats["visits"] < 0.5 * stats["n"] * (stats["n_hubs"] - 1)
+
+
+def test_two_table_cosine_matches_brute_force(spark):
+    from parallelcovertree_spark.operators.knn_highdim import hub_knn_highdim_queries
+
+    crows = _mk_vecs(200, seed=31)
+    qrows = [(1000 + i, v) for i, v in [(j, crows[j][1]) for j in range(5)]] + [
+        (2000 + r[0], r[1]) for r in _mk_vecs(40, seed=33)
+    ]
+    cdf = spark.createDataFrame(crows, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(qrows, "vec_id long, embedding array<float>")
+    got = {
+        (r.src, r.nbr_rank, r.dst)
+        for r in hub_knn_highdim_queries(cdf, qdf, k=6, n_hubs=5, metric="cosine").collect()
+    }
+    # brute cosine, no self-exclusion
+    cids = np.array([r[0] for r in crows])
+    C = np.round(np.array([r[1] for r in crows], dtype=np.float64) * 10_000)
+    cn = np.sqrt((C * C).sum(axis=1))
+    want = set()
+    for qid, vec in qrows:
+        Q = np.round(np.array(vec, dtype=np.float64) * 10_000)
+        cos = (C @ Q) / (np.sqrt((Q * Q).sum()) * cn)
+        order = np.lexsort((cids, -cos))[:6]
+        for rk, j in enumerate(order, start=1):
+            want.add((qid, rk, int(cids[j])))
+    assert got == want
+    # an exact-copy query ranks its corpus twin first
+    assert all((1000 + j, 1, cids[j]) in got for j in range(5))

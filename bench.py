@@ -171,11 +171,14 @@ def main() -> None:
         wmodel = build_cover_tree(wsample, hub_cutoff=64)
         tree_epsilon_graph(wmodel, radius).count()
         del wmodel
-        # min-of-2 for both phases: the routed-query path crosses the Python
-        # boundary heavily and shows ±40% run-to-run GC variance at 1M rows
+        # min-of-N for both phases: the routed-query path crosses the Python
+        # boundary heavily and shows ±40% run-to-run GC variance at 1M rows;
+        # this VM also shows episodic 2-3× whole-line slowdowns (r5 raws),
+        # so default 3 reps to sample past a single bad episode
+        tree_reps = int(os.environ.get("BENCH_TREE_REPS", "3"))
         bt = qt = None
         model = None
-        for _ in range(2):
+        for _ in range(tree_reps):
             model = None
             _jvm_gc()
             t0 = time.time()
@@ -201,7 +204,7 @@ def main() -> None:
 
             qs = pts.where(F.col("id") % 100 == 7)
             st = None
-            for _ in range(2):
+            for _ in range(tree_reps):
                 t0 = time.time()
                 counts["q_covertree_selective"] = int(
                     tree_radius_join(model, qs, radius).count()
@@ -216,7 +219,7 @@ def main() -> None:
 
             qs = pts.where(F.col("id") % 100 == 7)
             st = None
-            for _ in range(2):
+            for _ in range(tree_reps):
                 t0 = time.time()
                 counts["q_epsilon_selective"] = int(
                     epsilon_join(qs, pts, radius, left_id="id").count()

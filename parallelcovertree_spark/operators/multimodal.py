@@ -182,3 +182,112 @@ def media_sniff(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "payload").mapInPandas(run, SNIFF_SCHEMA)
+
+
+# --- driver-gate surface: corpus-derived media + oracle-exact kernels ----------
+# The two functions below make the multimodal plumbing DuckDB-checkable so it
+# carries a registry gate like every other family. Payloads derive
+# deterministically from the documents table (the corpus text is pure ASCII,
+# so payload bytes == codepoints and DuckDB can replay byte arithmetic with
+# ord()); the Spark side still moves real binary columns through real
+# Arrow-batched mapInPandas kernels — exactly the shape a 100 TB crawl
+# pipeline has, with only the codec call stubbed.
+
+BYTE_FEATURES_SCHEMA = (
+    "doc_id bigint, kind string, n_bytes bigint, sum_bytes bigint, "
+    "min_byte int, max_byte int, first_byte int, last_byte int"
+)
+
+
+def docs_to_media(docs: DataFrame) -> DataFrame:
+    """documents → media table: payload = UTF-8 bytes of text (opaque binary
+    from here on), kind cycles image/audio/video by doc_id, metadata struct
+    typed per kind. Pure codegen projection — no UDF, no shuffle."""
+    from pyspark.sql import functions as F
+
+    m = F.col("doc_id") % 3
+    return docs.select(
+        "doc_id",
+        F.when(m == 0, "image").when(m == 1, "audio").otherwise("video").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.when(m != 1, (32 + F.col("doc_id") % 64).cast("int")).alias("width"),
+            F.when(m != 1, F.lit(32).cast("int")).alias("height"),
+            F.when(m == 1, F.lit(16000).cast("int")).alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def byte_features(media: DataFrame) -> DataFrame:
+    """Integer-exact payload features (byte count/sum/min/max/first/last)
+    through the same Arrow-batched mapInPandas path as extract_features —
+    every output is a BIGINT/INT, so a SQL oracle can replay it bit-for-bit.
+    Partition-preserving; per-batch work is one numpy pass over the bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [],
+                "sum_bytes": [],
+                "min_byte": [],
+                "max_byte": [],
+                "first_byte": [],
+                "last_byte": [],
+            }
+            for payload in pdf["payload"]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                out["n_bytes"].append(len(b))
+                out["sum_bytes"].append(int(b.sum(dtype=np.int64)))
+                out["min_byte"].append(int(b.min()))
+                out["max_byte"].append(int(b.max()))
+                out["first_byte"].append(int(b[0]))
+                out["last_byte"].append(int(b[-1]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, BYTE_FEATURES_SCHEMA)
+
+
+def synthetic_headers(docs: DataFrame) -> DataFrame:
+    """Construct REAL container headers (PNG IHDR / WAV RIFF-fmt / GIF
+    logical screen) whose planted dimensions are pure functions of doc_id,
+    so media_sniff's parse can be oracle-checked as a construct→parse
+    round-trip. image → PNG w=32+id%64, h=32+id%16; audio → WAV
+    sr=8000*(1+id%5); video → GIF w=64+id%32, h=48."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            payloads = []
+            for i in ids:
+                i = int(i)
+                k = i % 3
+                if k == 0:  # PNG: signature + IHDR length/tag + width + height
+                    payloads.append(
+                        b"\x89PNG\r\n\x1a\n"
+                        + (13).to_bytes(4, "big")
+                        + b"IHDR"
+                        + (32 + i % 64).to_bytes(4, "big")
+                        + (32 + i % 16).to_bytes(4, "big")
+                    )
+                elif k == 1:  # WAV: RIFF size WAVE fmt-chunk, sr at bytes 24:28
+                    sr = 8000 * (1 + i % 5)
+                    payloads.append(
+                        b"RIFF"
+                        + (20).to_bytes(4, "little")
+                        + b"WAVEfmt "
+                        + (16).to_bytes(4, "little")
+                        + (1).to_bytes(2, "little")
+                        + (1).to_bytes(2, "little")
+                        + sr.to_bytes(4, "little")
+                    )
+                else:  # GIF89a: logical screen width/height, little-endian
+                    payloads.append(
+                        b"GIF89a"
+                        + (64 + i % 32).to_bytes(2, "little")
+                        + (48).to_bytes(2, "little")
+                    )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, "doc_id bigint, payload binary")

@@ -4197,6 +4197,82 @@ _ORACLES["langid_confusion"] = _ORACLES["langid_confusion"].format(
 )
 
 
+# --- multimodal plumbing gates --------------------------------------------------
+# The binary-column pipeline (payload + typed metadata + Arrow-batched
+# mapInPandas kernels) carried pytest-only coverage through r4; these two gates
+# put it behind the same DuckDB oracle discipline as every other family. The
+# corpus text is pure ASCII, so payload bytes == codepoints and ord() replays
+# byte arithmetic exactly.
+
+
+@_register(
+    "media_features",
+    """WITH m AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         text
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(ord(c) AS BIGINT)) AS BIGINT) AS sum_bytes,
+         CAST(MIN(ord(c)) AS INT) AS min_byte,
+         CAST(MAX(ord(c)) AS INT) AS max_byte
+  FROM (SELECT doc_id, UNNEST(string_split(text, '')) AS c FROM m)
+  GROUP BY doc_id
+)
+SELECT m.doc_id, m.kind,
+       CAST(length(m.text) AS BIGINT) AS n_bytes,
+       s.sum_bytes, s.min_byte, s.max_byte,
+       CAST(ord(substr(m.text, 1, 1)) AS INT) AS first_byte,
+       CAST(ord(substr(m.text, length(m.text), 1)) AS INT) AS last_byte
+FROM m JOIN s USING (doc_id)
+""",
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction plumbing, oracle-exact: documents →
+    binary payload column + typed metadata (codegen projection, no UDF) →
+    integer byte features through the SAME Arrow-batched mapInPandas path
+    as the stubbed codec decode (operators/multimodal.py). At 100 TB this
+    is the shape of the decode farm: opaque binary in, fixed-width feature
+    rows out, partition-preserving, per-batch numpy."""
+    from parallelcovertree_spark.operators import multimodal as mm
+
+    return mm.byte_features(mm.docs_to_media(_docs(spark, sf_dir)))
+
+
+@_register(
+    "media_sniff",
+    """SELECT doc_id,
+  CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'gif' END AS format,
+  CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN CAST(32 + doc_id % 64 AS INT)
+    WHEN 2 THEN CAST(64 + doc_id % 32 AS INT) END AS width,
+  CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN CAST(32 + doc_id % 16 AS INT)
+    WHEN 2 THEN CAST(48 AS INT) END AS height,
+  CASE CAST(doc_id % 3 AS INT)
+    WHEN 1 THEN CAST(8000 * (1 + doc_id % 5) AS INT) END AS sample_rate,
+  CAST(CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN 24 WHEN 1 THEN 28 ELSE 10 END AS BIGINT) AS n_bytes
+FROM documents
+""",
+)
+def media_sniff_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Construct→parse round-trip for the REAL (codec-free) header sniffer:
+    build genuine PNG/WAV/GIF container headers whose planted dimensions are
+    pure functions of doc_id, run media_sniff's magic-byte parser over the
+    binary column, and let the oracle replay the planted arithmetic — if the
+    parser mis-reads any offset/endianness, the hash breaks. This is the
+    first pass a crawl pipeline runs over binary payloads (format routing,
+    size filters, corrupt-payload quarantine)."""
+    from parallelcovertree_spark.operators import multimodal as mm
+
+    return mm.media_sniff(mm.synthetic_headers(_docs(spark, sf_dir)))
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

@@ -1,0 +1,55 @@
+"""Registry gates for the multimodal plumbing: byte_features against a pure-
+python twin, and the construct→parse header round-trip on the planted
+arithmetic (the DuckDB oracle replays the same formulas at the driver gate)."""
+
+from __future__ import annotations
+
+from parallelcovertree_spark.operators.multimodal import (
+    byte_features,
+    docs_to_media,
+    media_sniff,
+    synthetic_headers,
+)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+
+
+def test_docs_to_media_schema_and_kinds(spark):
+    docs = _docs_df(spark, ["alpha beta", "gamma", "delta eps", "zeta"])
+    media = docs_to_media(docs)
+    rows = {r.doc_id: r for r in media.collect()}
+    assert [rows[i].kind for i in range(4)] == ["image", "audio", "video", "image"]
+    assert bytes(rows[0].payload) == b"alpha beta"
+    assert rows[0].meta.width == 32 and rows[0].meta.sample_rate is None
+    assert rows[1].meta.sample_rate == 16000 and rows[1].meta.width is None
+
+
+def test_byte_features_matches_python_twin(spark):
+    texts = ["key agg row", "a", "zz top  scan", "   ", "mixed Case 09!"]
+    got = {r.doc_id: r for r in byte_features(docs_to_media(_docs_df(spark, texts))).collect()}
+    for i, t in enumerate(texts):
+        b = t.encode()
+        r = got[i]
+        assert (r.n_bytes, r.sum_bytes) == (len(b), sum(b))
+        assert (r.min_byte, r.max_byte) == (min(b), max(b))
+        assert (r.first_byte, r.last_byte) == (b[0], b[-1])
+
+
+def test_synthetic_headers_round_trip_planted_arithmetic(spark):
+    docs = _docs_df(spark, ["x"] * 30)
+    got = {r.doc_id: r for r in media_sniff(synthetic_headers(docs)).collect()}
+    for i in range(30):
+        r = got[i]
+        if i % 3 == 0:
+            assert (r.format, r.width, r.height) == ("png", 32 + i % 64, 32 + i % 16)
+            assert r.sample_rate is None and r.n_bytes == 24
+        elif i % 3 == 1:
+            assert (r.format, r.sample_rate) == ("wav", 8000 * (1 + i % 5))
+            assert r.width is None and r.n_bytes == 28
+        else:
+            assert (r.format, r.width, r.height) == ("gif", 64 + i % 32, 48)
+            assert r.sample_rate is None and r.n_bytes == 10

@@ -4273,6 +4273,37 @@ def media_sniff_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.media_sniff(mm.synthetic_headers(_docs(spark, sf_dir)))
 
 
+@_register(
+    "media_frame_manifest",
+    """SELECT doc_id,
+  CAST((length(text) + 7) // 8 AS BIGINT) AS n_frames,
+  CAST(length(text) AS BIGINT) AS sum_frame_bytes,
+  CAST(((length(text) - 1) % 8) + 1 AS INT) AS last_frame_bytes
+FROM documents
+WHERE CAST(doc_id % 3 AS INT) = 2
+""",
+)
+def media_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling manifest: video payloads explode one row per sampled
+    frame through frame_sample's mapInPandas path (every_n=8 bytes — the
+    stand-in for a stride-N frame grab), then collapse to per-doc integer
+    counts the oracle replays with ceiling arithmetic. The expansion is the
+    part that matters at scale: frames multiply rows ~len/N× BEFORE any
+    shuffle, so the per-doc aggregate rides a map-side combine."""
+    from pyspark.sql import functions as F2
+
+    from parallelcovertree_spark.operators import multimodal as mm
+
+    frames = mm.frame_sample(mm.docs_to_media(_docs(spark, sf_dir)), every_n=8)
+    # every frame is exactly 8 bytes except a possibly-short final one, so
+    # MIN(frame length) IS the last frame's length — stays map-side combinable
+    return frames.groupBy("doc_id").agg(
+        F2.count(F2.lit(1)).alias("n_frames"),
+        F2.sum(F2.octet_length("frame_bytes")).alias("sum_frame_bytes"),
+        F2.min(F2.octet_length("frame_bytes")).alias("last_frame_bytes"),
+    )
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

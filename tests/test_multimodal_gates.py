@@ -53,3 +53,28 @@ def test_synthetic_headers_round_trip_planted_arithmetic(spark):
         else:
             assert (r.format, r.width, r.height) == ("gif", 64 + i % 32, 48)
             assert r.sample_rate is None and r.n_bytes == 10
+
+
+def test_frame_manifest_ceiling_arithmetic(spark):
+    # doc_id % 3 == 2 → video; lengths 16 (exact) and 13 (short last frame)
+    docs = spark.createDataFrame(
+        [(2, "a" * 16), (5, "b" * 13), (0, "c" * 40), (1, "d" * 40)],
+        "doc_id LONG, text STRING",
+    )
+
+    from parallelcovertree_spark.operators.multimodal import docs_to_media, frame_sample
+    from pyspark.sql import functions as F
+
+    frames = frame_sample(docs_to_media(docs), every_n=8)
+    got = {
+        r.doc_id: r
+        for r in frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min(F.octet_length("frame_bytes")).alias("last_frame_bytes"),
+        )
+        .collect()
+    }
+    assert set(got) == {2, 5}  # only video docs explode
+    assert (got[2].n_frames, got[2].last_frame_bytes) == (2, 8)
+    assert (got[5].n_frames, got[5].last_frame_bytes) == (2, 5)

@@ -291,3 +291,71 @@ def synthetic_headers(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(run, "doc_id bigint, payload binary")
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, src_w int, src_h int, dst_w int, dst_h int, "
+    "sum_px bigint, first_px int, last_px int"
+)
+
+
+def synthetic_pixels(docs: DataFrame) -> DataFrame:
+    """Deterministic grayscale frames: a (w×h) uint8 image per doc with
+    pixel[idx] = (doc_id*31 + idx*7) % 256, w = 16 + doc_id%16,
+    h = 12 + doc_id%8 — pure functions of doc_id, so an oracle can replay
+    any downstream pixel arithmetic without shipping the bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            ws, hs, payloads = [], [], []
+            for i in ids:
+                i = int(i)
+                w, h = 16 + i % 16, 12 + i % 8
+                idx = np.arange(w * h, dtype=np.int64)
+                payloads.append(((i * 31 + idx * 7) % 256).astype(np.uint8).tobytes())
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs, "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        run, "doc_id bigint, width int, height int, payload binary"
+    )
+
+
+def resize_nearest(frames: DataFrame, dst_w: int = 8, dst_h: int = 6) -> DataFrame:
+    """REAL nearest-neighbor resize over the binary pixel column — numpy
+    strided index gather per frame inside Arrow batches (the resize every
+    vision-data pipeline runs before feature extraction; only the codec
+    that would PRODUCE the pixels is stubbed elsewhere). Output is an
+    integer manifest (pixel sum + corners) so the resample's index
+    arithmetic (src = (dy*h)//dst_h, (dx*w)//dst_w) is oracle-checkable
+    bit-for-bit. Partition-preserving, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "src_w": pdf["width"],
+                "src_h": pdf["height"],
+                "dst_w": [],
+                "dst_h": [],
+                "sum_px": [],
+                "first_px": [],
+                "last_px": [],
+            }
+            for w, h, payload in zip(pdf["width"], pdf["height"], pdf["payload"]):
+                img = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(int(h), int(w))
+                ys = (np.arange(dst_h, dtype=np.int64) * int(h)) // dst_h
+                xs = (np.arange(dst_w, dtype=np.int64) * int(w)) // dst_w
+                small = img[np.ix_(ys, xs)]
+                out["dst_w"].append(dst_w)
+                out["dst_h"].append(dst_h)
+                out["sum_px"].append(int(small.sum(dtype=np.int64)))
+                out["first_px"].append(int(small[0, 0]))
+                out["last_px"].append(int(small[-1, -1]))
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(run, RESIZE_SCHEMA)

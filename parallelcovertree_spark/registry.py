@@ -4304,6 +4304,46 @@ def media_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "media_resize",
+    """WITH d AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 16 AS INT) AS src_w,
+         CAST(12 + doc_id % 8 AS INT) AS src_h
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.src_w, d.src_h,
+         ((dy.y * d.src_h) // 6) * d.src_w + ((dx.x * d.src_w) // 8) AS src_idx,
+         dy.y AS y, dx.x AS x
+  FROM d, generate_series(0, 5) AS dy(y), generate_series(0, 7) AS dx(x)
+)
+SELECT doc_id, src_w, src_h,
+       CAST(8 AS INT) AS dst_w, CAST(6 AS INT) AS dst_h,
+       CAST(SUM((doc_id * 31 + src_idx * 7) % 256) AS BIGINT) AS sum_px,
+       CAST(MAX(CASE WHEN y = 0 AND x = 0
+                THEN (doc_id * 31 + src_idx * 7) % 256 END) AS INT) AS first_px,
+       CAST(MAX(CASE WHEN y = 5 AND x = 7
+                THEN (doc_id * 31 + src_idx * 7) % 256 END) AS INT) AS last_px
+FROM px
+GROUP BY doc_id, src_w, src_h
+""",
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize over a binary pixel column:
+    deterministic (w×h) uint8 frames per doc, numpy index-gather resample
+    to 8×6 inside Arrow batches, integer manifest out. The oracle replays
+    the resample's index arithmetic (src = (dy*h)//dst_h etc.) cell by
+    cell over a generate_series grid — if the kernel's strides, axis
+    order, or floor divisions are wrong, the hash breaks. No shuffle:
+    scan → mapInPandas → mapInPandas."""
+    from parallelcovertree_spark.operators import multimodal as mm
+
+    return mm.resize_nearest(
+        mm.synthetic_pixels(_docs(spark, sf_dir)), dst_w=8, dst_h=6
+    )
+
+
 _ORACLES["knn_docs_kernel"] = _ORACLES["knn_docs"]
 _ORACLES["covertree_knn"] = _ORACLES["knn_docs"]
 

@@ -78,3 +78,23 @@ def test_frame_manifest_ceiling_arithmetic(spark):
     assert set(got) == {2, 5}  # only video docs explode
     assert (got[2].n_frames, got[2].last_frame_bytes) == (2, 8)
     assert (got[5].n_frames, got[5].last_frame_bytes) == (2, 5)
+
+
+def test_resize_nearest_matches_python_reference(spark):
+    from parallelcovertree_spark.operators.multimodal import (
+        resize_nearest,
+        synthetic_pixels,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id LONG")
+    got = {r.doc_id: r for r in resize_nearest(synthetic_pixels(docs), 8, 6).collect()}
+    for i in range(12):
+        w, h = 16 + i % 16, 12 + i % 8
+        img = [[(i * 31 + (y * w + x) * 7) % 256 for x in range(w)] for y in range(h)]
+        small = [
+            [img[(dy * h) // 6][(dx * w) // 8] for dx in range(8)] for dy in range(6)
+        ]
+        r = got[i]
+        assert (r.src_w, r.src_h, r.dst_w, r.dst_h) == (w, h, 8, 6)
+        assert r.sum_px == sum(sum(row) for row in small)
+        assert (r.first_px, r.last_px) == (small[0][0], small[5][7])

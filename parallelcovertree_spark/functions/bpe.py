@@ -138,8 +138,14 @@ def learning_cte_sql(
     WHERE substring(s, CAST(i AS INT), 2) NOT LIKE '% %'
     GROUP BY 1 ORDER BY c DESC, pair LIMIT 1) q)"""
         )
+        # COALESCE to an unoccurring sentinel (chr(1)): if the sample
+        # exhausts mergeable pairs before n_merges (m{m} empty — the case
+        # where the engine's learn_merges breaks early), the replace is a
+        # no-op instead of REPLACE(s, NULL, ..) = NULL poisoning every
+        # later stage. Keeps the two halves in contract on ANY corpus.
         parts.append(
-            f"samp{m + 1} AS MATERIALIZED (SELECT REPLACE(s, (SELECT pair FROM m{m}), "
+            f"samp{m + 1} AS MATERIALIZED (SELECT REPLACE(s, "
+            f"COALESCE((SELECT pair FROM m{m}), chr(1)), "
             f"chr({PUA_BASE + m})) AS s FROM samp{m})"
         )
     return ",\n".join(parts)
@@ -150,5 +156,9 @@ def apply_sql(expr: str, n_merges: int = N_MERGES) -> str:
     scalar subquery against the learning CTEs from :func:`learning_cte_sql`)."""
     s = expr
     for m in range(n_merges):
-        s = f"REPLACE({s}, (SELECT pair FROM m{m}), chr({PUA_BASE + m}))"
+        # same COALESCE no-op guard as learning_cte_sql's samp stages
+        s = (
+            f"REPLACE({s}, COALESCE((SELECT pair FROM m{m}), chr(1)), "
+            f"chr({PUA_BASE + m}))"
+        )
     return s

@@ -81,6 +81,11 @@ def _scores(X: np.ndarray, Y: np.ndarray, metric: str) -> np.ndarray:
         return _pairwise_d2(X, Y)
     na = np.sqrt((X * X).sum(axis=1))
     nb = np.sqrt((Y * Y).sum(axis=1))
+    # a vector that quantizes to all-zero has no direction: score it 0
+    # (cosine of nothing) instead of 0/0 NaN, deterministically on both
+    # sides of any norm-0 pairing — NaN would rank engine-specifically
+    na = np.where(na == 0.0, np.inf, na)
+    nb = np.where(nb == 0.0, np.inf, nb)
     return -((X @ Y.T) / (na[:, None] * nb[None, :]))
 
 

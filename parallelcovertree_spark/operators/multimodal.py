@@ -237,8 +237,17 @@ def byte_features(media: DataFrame) -> DataFrame:
                 "last_byte": [],
             }
             for payload in pdf["payload"]:
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                # NULL/empty payloads are routine in a crawl corpus: emit
+                # n_bytes=0 with NULL stats (media_sniff's guard discipline)
+                b = np.frombuffer(
+                    bytes(payload) if payload is not None else b"", dtype=np.uint8
+                )
                 out["n_bytes"].append(len(b))
+                if len(b) == 0:
+                    out["sum_bytes"].append(0)
+                    for c in ("min_byte", "max_byte", "first_byte", "last_byte"):
+                        out[c].append(None)
+                    continue
                 out["sum_bytes"].append(int(b.sum(dtype=np.int64)))
                 out["min_byte"].append(int(b.min()))
                 out["max_byte"].append(int(b.max()))

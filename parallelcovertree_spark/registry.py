@@ -382,6 +382,19 @@ SELECT doc_id,
 FROM norm"""
 
 
+_BPE_MERGES_CACHE: dict[str, list] = {}
+
+
+def _learned_merges(docs: DataFrame, sf_dir: str) -> list:
+    """Memoized merge table per sf_dir: the three BPE gates share one
+    learning pass (24 sequential sample-bounded jobs) instead of re-deriving
+    an identical table three times per registry run — the trained-artifact
+    discipline of the PQ codebook gates."""
+    if sf_dir not in _BPE_MERGES_CACHE:
+        _BPE_MERGES_CACHE[sf_dir] = _bpe.learn_merges(docs)
+    return _BPE_MERGES_CACHE[sf_dir]
+
+
 @_register("bpe_token_count", _BPE_ORACLE)
 def bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL BPE token count (functions/bpe.py): merge table learned from
@@ -390,7 +403,7 @@ def bpe_token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection. (doc_id, n_chars_norm, n_tokens_bpe) — the difference is
     the number of merge events in the doc."""
     docs = _docs(spark, sf_dir)
-    merges = _bpe.learn_merges(docs)
+    merges = _learned_merges(docs, sf_dir)
     return docs.select(
         "doc_id",
         F.length(F.lower(F.col("text"))).cast("long").alias("n_chars_norm"),
@@ -429,7 +442,7 @@ def sequence_packing_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallelcovertree_spark.operators.corpus import sequence_packing
 
     docs = _docs(spark, sf_dir)
-    merges = _bpe.learn_merges(docs)
+    merges = _learned_merges(docs, sf_dir)
     return sequence_packing(
         docs, block=_BPE_PACK_BLOCK,
         token_count=_bpe.bpe_token_count_col("text", merges),
@@ -462,7 +475,7 @@ def doc_token_moments_bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT power sums) — the corpus-QA moments pass denominated in real
     tokenizer output."""
     docs = _docs(spark, sf_dir)
-    merges = _bpe.learn_merges(docs)
+    merges = _learned_merges(docs, sf_dir)
     length = _bpe.bpe_token_count_col("text", merges)
     agg = docs.select(docs.lang, length.alias("len")).groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
@@ -4280,7 +4293,7 @@ def media_sniff_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
   CAST(length(text) AS BIGINT) AS sum_frame_bytes,
   CAST(((length(text) - 1) % 8) + 1 AS INT) AS last_frame_bytes
 FROM documents
-WHERE CAST(doc_id % 3 AS INT) = 2
+WHERE CAST(doc_id % 3 AS INT) = 2 AND length(text) > 0
 """,
 )
 def media_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -120,3 +120,37 @@ def test_empty_and_single_char_docs(spark):
     }
     assert rows[0] == 0 and rows[1] == 1
     assert rows[2] == len(_py_apply("the the the", merges))
+
+
+def test_early_exhaustion_matches_oracle(spark):
+    """A corpus whose sample exhausts mergeable pairs before n_merges:
+    learn_merges breaks early, and the SQL twin's empty later stages must
+    no-op (COALESCE sentinel) instead of NULL-poisoning the replay."""
+    import duckdb
+
+    from parallelcovertree_spark.functions.bpe import apply_sql, learning_cte_sql
+
+    rows = [(0, "ab ab"), (1, "ab"), (2, "b a")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    merges = learn_merges(docs, n_merges=8, sample_ids=10)
+    assert 0 < len(merges) < 8  # genuinely exhausted before the budget
+
+    got = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", bpe_token_count_col("text", merges).alias("n")
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES (0,'ab ab'),(1,'ab'),"
+        "(2,'b a')) t(doc_id, text)"
+    )
+    sql = (
+        f"WITH {learning_cte_sql(n_merges=8, sample_ids=10)}\n"
+        f"SELECT doc_id, CAST(LENGTH({apply_sql('LOWER(text)', n_merges=8)}) AS BIGINT)"
+        " AS n FROM documents"
+    )
+    want = dict(con.execute(sql).fetchall())
+    assert got == want and all(v is not None for v in want.values())

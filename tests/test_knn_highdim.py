@@ -312,3 +312,17 @@ def test_two_table_cosine_matches_brute_force(spark):
     assert got == want
     # an exact-copy query ranks its corpus twin first
     assert all((1000 + j, 1, cids[j]) in got for j in range(5))
+
+
+def test_cosine_scores_zero_norm_guard():
+    """A vector that quantizes to all-zero must score 0 (not 0/0 NaN) against
+    everything, deterministically — NaN would rank engine-specifically."""
+    import numpy as np
+
+    from parallelcovertree_spark.operators.knn_highdim import _scores
+
+    X = np.array([[0.0, 0.0], [3.0, 4.0]])
+    s = _scores(X, X, "cosine")
+    assert not np.isnan(s).any()
+    assert s[0, 0] == 0.0 and s[0, 1] == 0.0 and s[1, 0] == 0.0
+    assert s[1, 1] == -1.0  # self-cosine of a real vector

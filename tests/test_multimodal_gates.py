@@ -98,3 +98,17 @@ def test_resize_nearest_matches_python_reference(spark):
         assert (r.src_w, r.src_h, r.dst_w, r.dst_h) == (w, h, 8, 6)
         assert r.sum_px == sum(sum(row) for row in small)
         assert (r.first_px, r.last_px) == (small[0][0], small[5][7])
+
+
+def test_byte_features_null_and_empty_payloads(spark):
+    from parallelcovertree_spark.operators.multimodal import byte_features
+
+    media = spark.createDataFrame(
+        [(0, "image", b"ab"), (1, "audio", b""), (2, "video", None)],
+        "doc_id LONG, kind STRING, payload BINARY",
+    )
+    got = {r.doc_id: r for r in byte_features(media).collect()}
+    assert (got[0].n_bytes, got[0].sum_bytes) == (2, 195)
+    for i in (1, 2):
+        assert got[i].n_bytes == 0 and got[i].sum_bytes == 0
+        assert got[i].min_byte is None and got[i].last_byte is None

@@ -28,10 +28,14 @@ FEATURES_SCHEMA = f"doc_id bigint, kind string, n_bytes int, feature array<float
 _KINDS = ["image", "audio", "video"]
 
 
-def synthetic_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+def synthetic_media(
+    spark: SparkSession, n: int, seed: int = 42, num_partitions: int | None = None
+) -> DataFrame:
     """Deterministic media table: payload bytes are a pure function of
-    (doc_id, seed); metadata is typed per kind."""
-    rng = spark.range(0, n)
+    (doc_id, seed); metadata is typed per kind. ``num_partitions`` splits the
+    range at the source (no shuffle) — benchmarks pin it so partitioning is
+    constant across parallelism levels."""
+    rng = spark.range(0, n, 1, num_partitions) if num_partitions else spark.range(0, n)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -222,40 +226,64 @@ def byte_features(media: DataFrame) -> DataFrame:
     """Integer-exact payload features (byte count/sum/min/max/first/last)
     through the same Arrow-batched mapInPandas path as extract_features —
     every output is a BIGINT/INT, so a SQL oracle can replay it bit-for-bit.
-    Partition-preserving; per-batch work is one numpy pass over the bytes."""
+    Partition-preserving. The whole batch is ONE concatenated uint8 buffer
+    with ``np.<op>.reduceat`` over the segment starts — no per-row Python
+    loop in the stats path (the per-row variant and an object-dtype output
+    both measured slower at 1M payloads — tools/multimodal_bench.py; at
+    decode-farm volume the boundary+loop, not the arithmetic, is the cost). NULL/empty payloads emit n_bytes=0 with NULL stats
+    (media_sniff's guard discipline)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                "doc_id": pdf["doc_id"],
-                "kind": pdf["kind"],
-                "n_bytes": [],
-                "sum_bytes": [],
-                "min_byte": [],
-                "max_byte": [],
-                "first_byte": [],
-                "last_byte": [],
-            }
-            for payload in pdf["payload"]:
-                # NULL/empty payloads are routine in a crawl corpus: emit
-                # n_bytes=0 with NULL stats (media_sniff's guard discipline)
-                b = np.frombuffer(
-                    bytes(payload) if payload is not None else b"", dtype=np.uint8
-                )
-                out["n_bytes"].append(len(b))
-                if len(b) == 0:
-                    out["sum_bytes"].append(0)
-                    for c in ("min_byte", "max_byte", "first_byte", "last_byte"):
-                        out[c].append(None)
-                    continue
-                out["sum_bytes"].append(int(b.sum(dtype=np.int64)))
-                out["min_byte"].append(int(b.min()))
-                out["max_byte"].append(int(b.max()))
-                out["first_byte"].append(int(b[0]))
-                out["last_byte"].append(int(b[-1]))
-            yield pd.DataFrame(out)
+            payloads = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"]
+            ]
+            lens = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+            )
+            nonempty = lens > 0
+            # starts of the NONEMPTY segments inside the concatenated buffer
+            # (empty payloads contribute no bytes, so consecutive nonempty
+            # starts delimit segments exactly)
+            ends = np.cumsum(lens)
+            starts = (ends - lens)[nonempty]
+            n = len(payloads)
+            sum_b = np.zeros(n, dtype=np.int64)
+            stats = np.zeros((4, n), dtype=np.int32)
+            if starts.size:
+                cat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                wide = cat.astype(np.int64)  # reduceat in uint8 would wrap
+                sum_b[nonempty] = np.add.reduceat(wide, starts)
+                stats[0, nonempty] = np.minimum.reduceat(cat, starts)
+                stats[1, nonempty] = np.maximum.reduceat(cat, starts)
+                stats[2, nonempty] = cat[starts]
+                stats[3, nonempty] = cat[ends[nonempty] - 1]
+            # pandas nullable Int32 (masked numpy, Arrow-native) — object
+            # arrays of boxed ints measured as the kernel's serial tax
+            mask = ~nonempty
+            min_b, max_b, first_b, last_b = (
+                pd.arrays.IntegerArray(stats[i], mask.copy()) for i in range(4)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": lens,
+                    "sum_bytes": sum_b,
+                    "min_byte": min_b,
+                    "max_byte": max_b,
+                    "first_byte": first_b,
+                    "last_byte": last_b,
+                }
+            )
 
-    return media.mapInPandas(run, BYTE_FEATURES_SCHEMA)
+    # explicit projection: mapInPandas ships EVERY input column through the
+    # Arrow boundary (no automatic pruning into the UDF), and the meta
+    # struct alone measured ~2/3 of the kernel's wall time at 1M rows
+    # (struct → per-row python dicts in the pandas conversion)
+    return media.select("doc_id", "kind", "payload").mapInPandas(
+        run, BYTE_FEATURES_SCHEMA
+    )
 
 
 def synthetic_headers(docs: DataFrame) -> DataFrame:
@@ -345,26 +373,42 @@ def resize_nearest(frames: DataFrame, dst_w: int = 8, dst_h: int = 6) -> DataFra
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                "doc_id": pdf["doc_id"],
-                "src_w": pdf["width"],
-                "src_h": pdf["height"],
-                "dst_w": [],
-                "dst_h": [],
-                "sum_px": [],
-                "first_px": [],
-                "last_px": [],
-            }
-            for w, h, payload in zip(pdf["width"], pdf["height"], pdf["payload"]):
-                img = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(int(h), int(w))
-                ys = (np.arange(dst_h, dtype=np.int64) * int(h)) // dst_h
-                xs = (np.arange(dst_w, dtype=np.int64) * int(w)) // dst_w
-                small = img[np.ix_(ys, xs)]
-                out["dst_w"].append(dst_w)
-                out["dst_h"].append(dst_h)
-                out["sum_px"].append(int(small.sum(dtype=np.int64)))
-                out["first_px"].append(int(small[0, 0]))
-                out["last_px"].append(int(small[-1, -1]))
-            yield pd.DataFrame(out)
+            n = len(pdf)
+            ws = pdf["width"].to_numpy(np.int64)
+            hs = pdf["height"].to_numpy(np.int64)
+            payloads = pdf["payload"].tolist()
+            sum_px = np.zeros(n, dtype=np.int64)
+            first_px = np.zeros(n, dtype=np.int64)
+            last_px = np.zeros(n, dtype=np.int64)
+            # bucket by source shape: same-shape frames concat into ONE
+            # (k, h, w) array and resample with a single fancy-index gather —
+            # no per-frame Python (the shape-group trick of real vision
+            # pipelines; ~2× over the per-frame loop at 1M frames,
+            # tools/multimodal_bench.py)
+            shape_key = ws * (hs.max() + 1) + hs if n else np.empty(0, np.int64)
+            for key in np.unique(shape_key):
+                idx = np.nonzero(shape_key == key)[0]
+                w, h = int(ws[idx[0]]), int(hs[idx[0]])
+                block = np.frombuffer(
+                    b"".join(payloads[i] for i in idx), dtype=np.uint8
+                ).reshape(len(idx), h, w)
+                ys = (np.arange(dst_h, dtype=np.int64) * h) // dst_h
+                xs = (np.arange(dst_w, dtype=np.int64) * w) // dst_w
+                small = block[:, ys][:, :, xs]
+                sum_px[idx] = small.sum(axis=(1, 2), dtype=np.int64)
+                first_px[idx] = small[:, 0, 0]
+                last_px[idx] = small[:, -1, -1]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": ws,
+                    "src_h": hs,
+                    "dst_w": np.full(n, dst_w, dtype=np.int32),
+                    "dst_h": np.full(n, dst_h, dtype=np.int32),
+                    "sum_px": sum_px,
+                    "first_px": first_px,
+                    "last_px": last_px,
+                }
+            )
 
     return frames.mapInPandas(run, RESIZE_SCHEMA)

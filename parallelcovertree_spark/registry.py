@@ -587,8 +587,15 @@ FROM toks GROUP BY doc_id
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash dedup stage 1: per-doc signature over whitespace shingles.
-    Weak-but-portable token hash (ascii/length) so DuckDB reproduces it."""
-    toks = _docs(spark, sf_dir).select(
+    Weak-but-portable token hash (ascii/length) so DuckDB reproduces it.
+
+    The docs table is widened to session parallelism first: a small corpus
+    is one parquet split, and the tokenize/hash/partial-min scan stage would
+    otherwise run on ONE core (no-op at scale)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
     h = F.expr(TOKEN_HASH_SQL.format(tok="tok"))

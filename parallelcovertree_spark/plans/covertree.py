@@ -62,6 +62,12 @@ class CoverTreeModel:
     metrics: DataFrame             # per-iteration lineage/metrics
     num_global_iters: int
     has_global_leaves: bool = True  # any leaf vertices from the global phase?
+    # (hub_id, point_id, px, py): each hub's UNIQUE member points, checkpointed
+    # pre-hash-partitioned + pre-sorted on hub_id — the routed query's stage-2
+    # cogroup side. 4 narrow columns and one row per member instead of the
+    # ~2.3-rows-per-point 8-column vertex table: less Arrow per query call,
+    # and the tree side needs no exchange and no sort at query time.
+    members: DataFrame | None = None
 
 
 def _collect_farthest(state: DataFrame) -> list:
@@ -898,6 +904,7 @@ def build_cover_tree(
 
     # --- local phase (DistCoverTree.cpp:814-934 analog) ---------------------
     local_trees = None
+    members = None
     local_roots: list[int] = []
     if chains:
         local_roots = sorted(chains.keys())
@@ -943,27 +950,40 @@ def build_cover_tree(
             })
 
         t0 = time.time()
-        # The checkpointed tree table is pre-hash-partitioned AND pre-sorted
-        # on hub_id: LogicalRDD keeps outputPartitioning/outputOrdering
-        # through localCheckpoint (AQE must be off while it materializes, or
-        # the adaptive wrapper reports UnknownPartitioning), so every routed
-        # query's cogroup (plans/query.py stage 2) reads the tree side with
-        # ZERO exchange and ZERO sort — the shuffle moves from per-query-call
-        # to once-per-build. Guide §2.4 (two operations keyed the same way
-        # share one exchange / persist the partitioning across jobs).
+        local_trees = (
+            active.groupBy("hub_vtx")
+            .applyInPandas(build_group, LOCAL_TREE_SCHEMA)
+            .localCheckpoint(eager=True)
+        )
+        _trace("local_trees", t0)
+
+        # The members table is checkpointed pre-hash-partitioned AND
+        # pre-sorted on hub_id: LogicalRDD keeps outputPartitioning /
+        # outputOrdering through localCheckpoint (AQE must be off while it
+        # materializes, or the adaptive wrapper reports UnknownPartitioning),
+        # so every routed query's cogroup (plans/query.py stage 2) reads the
+        # tree side with ZERO exchange and ZERO sort — the shuffle moves from
+        # per-query-call to once-per-build (guide §2.4), and it moves 4
+        # narrow columns of unique members, not the full vertex table.
+        t0 = time.time()
         aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
-            local_trees = (
-                active.groupBy("hub_vtx")
-                .applyInPandas(build_group, LOCAL_TREE_SCHEMA)
+            members = (
+                active_state.select(
+                    F.col("hub_vtx").alias("hub_id"),
+                    F.col("pid").alias("point_id"),
+                    F.col("x").alias("px"),
+                    F.col("y").alias("py"),
+                )
+                .where(F.col("hub_id") >= 0)
                 .repartition(n_parts, "hub_id")
-                .sortWithinPartitions("hub_id", "lvertex_id")
+                .sortWithinPartitions("hub_id")
                 .localCheckpoint(eager=True)
             )
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
-        _trace("local_trees", t0)
+        _trace("members", t0)
 
     # --- assemble top-tree vertex table --------------------------------------
     t0 = time.time()
@@ -998,6 +1018,7 @@ def build_cover_tree(
     return CoverTreeModel(
         base, max_radius, root_pid, vertices, local_trees, points,
         local_roots, _metrics_df(spark, metrics), it, has_leaves,
+        members=members,
     )
 
 

@@ -327,9 +327,13 @@ def tree_radius_join(
             "pid": upids[hp],
         })
 
+    # cogroup against the narrow pre-partitioned members table when the
+    # model carries one (4 columns, unique rows, exchange/sort-free side);
+    # the full vertex table remains the fallback for hand-built models
+    tree_side = model.members if getattr(model, "members", None) is not None else model.local_trees
     hits_local = (
         to_route.groupBy("hub_id")
-        .cogroup(model.local_trees.groupBy("hub_id"))
+        .cogroup(tree_side.groupBy("hub_id"))
         .applyInPandas(stage2, "qid long, pid long")
     )
     # sources are pairwise disjoint (see docstring) → plain union, no shuffle

@@ -165,17 +165,33 @@ def _df_to_blocks(state: DataFrame, tmp_dir: str):
     return rdd
 
 
-def _apply_ops_np(blk: dict, ops: dict) -> dict:
+def _apply_ops_np(blk: dict, ops: dict, inplace: bool = False,
+                  xy64: tuple | None = None) -> dict:
     """One reference round on a numpy block, same op order as the reference
     iteration: leaf deactivation → split re-homing → chain-tail
     nearest-update (CoverTree.cpp:181-322). Distances: float32 storage,
-    float64 math, explicit products (bit-stable, Point.cpp:27-38)."""
-    hub = blk["hub_vtx"].copy()
-    hub_pt = blk["hub_pt"].copy()
-    dist = blk["dist"].copy()
-    leaf_parent = blk["leaf_parent"].copy()
-    x = blk["x"].astype(np.float64)
-    y = blk["y"].astype(np.float64)
+    float64 math, explicit products (bit-stable, Point.cpp:27-38).
+
+    ``inplace`` mutates the block's arrays (driver path — the block is
+    owned); the block path MUST keep the default copy semantics, its base
+    blocks are persisted RDD state that the op log replays over.
+    ``xy64`` supplies pre-widened coordinate arrays (identical values to the
+    per-call astype; the driver path caches them across rounds)."""
+    if inplace:
+        hub = blk["hub_vtx"]
+        hub_pt = blk["hub_pt"]
+        dist = blk["dist"]
+        leaf_parent = blk["leaf_parent"]
+    else:
+        hub = blk["hub_vtx"].copy()
+        hub_pt = blk["hub_pt"].copy()
+        dist = blk["dist"].copy()
+        leaf_parent = blk["leaf_parent"].copy()
+    if xy64 is not None:
+        x, y = xy64
+    else:
+        x = blk["x"].astype(np.float64)
+        y = blk["y"].astype(np.float64)
     if len(ops["leaves"]):
         m = np.isin(hub, ops["leaves"])
         leaf_parent[m] = hub[m]
@@ -414,6 +430,8 @@ class _DriverRounds:
     def __init__(self, blk: dict):
         self.blk = blk
         self._grp = None  # cached hub grouping (valid across extend rounds)
+        # widen coords once — every round's tail-update reads them
+        self._xy64 = (blk["x"].astype(np.float64), blk["y"].astype(np.float64))
 
     def round(self, new_ops: dict | None):
         if new_ops is not None:
@@ -423,7 +441,9 @@ class _DriverRounds:
         return _merge_partials([_hub_argmax_np(self.blk, self._grp)])
 
     def push_ops(self, sorted_ops: dict) -> None:
-        self.blk = _apply_ops_np(self.blk, sorted_ops)
+        # in place: the driver owns its block (no persisted RDD aliasing)
+        self.blk = _apply_ops_np(self.blk, sorted_ops, inplace=True,
+                                 xy64=self._xy64)
         if len(sorted_ops["leaves"]) or len(sorted_ops["split_hubs"]):
             self._grp = None  # hub assignment changed → regroup
 
@@ -950,8 +970,14 @@ def build_cover_tree(
             })
 
         t0 = time.time()
+        # explicit repartition: a user-specified shuffle is exempt from AQE
+        # coalescing, so the per-hub builds run on n_parts tasks instead of
+        # the handful AQE would coalesce this (byte-light, compute-heavy)
+        # exchange down to; groupBy reuses the same partitioning — one
+        # exchange total
         local_trees = (
-            active.groupBy("hub_vtx")
+            active.repartition(n_parts, "hub_vtx")
+            .groupBy("hub_vtx")
             .applyInPandas(build_group, LOCAL_TREE_SCHEMA)
             .localCheckpoint(eager=True)
         )

@@ -53,14 +53,6 @@ def merge_token(i: int) -> str:
     return chr(PUA_BASE + i)
 
 
-# one codegen HOF pass: all adjacent 2-char windows of s (empty for len<2)
-_PAIRS_EXPR = (
-    "CASE WHEN length(s) >= 2 THEN "
-    "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2)) "
-    "ELSE array() END"
-)
-
-
 def learn_merges(
     docs: DataFrame,
     text_col: str = "text",
@@ -69,28 +61,46 @@ def learn_merges(
     sample_ids: int = SAMPLE_DOCS,
 ) -> list[tuple[str, str]]:
     """Learn the merge table: ``[(pair, merged_symbol), ...]`` in merge
-    order. Each iteration is one distributed pair-count over the sample
-    (explode + groupBy — sample-bounded, never corpus-bounded) and one
-    driver argmax (count desc, pair asc — the oracle's exact tie-break)."""
-    cur = docs.where(F.col(id_col) < sample_ids).select(
-        F.lower(F.col(text_col)).alias("s")
+    order. ONE collect of the (bounded) sample, then a driver-side numpy
+    merge loop — the former n_merges sequential collect-driven Spark jobs
+    added ~7s of fixed latency to every cold BPE pipeline (each job counted
+    pairs over the same 200-doc sample). The loop is value-identical:
+    pairs are the same adjacent 2-char windows (doc boundaries never pair),
+    space-containing pairs excluded, argmax tie-break = (count desc, pair
+    asc) where the numeric key (cp0·2²¹ + cp1) orders exactly like UTF8
+    binary collation on 2-char strings, and ``str.replace`` is the same
+    left-to-right non-overlapping application as Spark/DuckDB REPLACE.
+    Lowercasing stays in Spark so collation semantics are unchanged."""
+    import numpy as np
+
+    rows = (
+        docs.where(F.col(id_col) < sample_ids)
+        .select(F.lower(F.col(text_col)).alias("s"))
+        .collect()
     )
+    texts = [r.s for r in rows if r.s is not None]
     merges: list[tuple[str, str]] = []
+    shift = 1 << 21  # > 0x10FFFF: (cp0, cp1) → injective order-preserving key
     for m in range(n_merges):
-        top = (
-            cur.select(F.explode(F.expr(_PAIRS_EXPR)).alias("pair"))
-            .where(~F.col("pair").contains(" "))
-            .groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .orderBy(F.desc("c"), F.asc("pair"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        parts = []
+        for s in texts:
+            if len(s) >= 2:
+                c = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+                parts.append(c[:-1] * shift + c[1:])
+        if parts:
+            allp = np.concatenate(parts)
+            a, b = allp // shift, allp % shift
+            allp = allp[(a != 32) & (b != 32)]
+        else:
+            allp = np.empty(0, dtype=np.int64)
+        if not len(allp):
             break  # alphabet exhausted (every doc a single symbol / spaces)
-        pair, tok = top[0]["pair"], merge_token(m)
+        uq, cnt = np.unique(allp, return_counts=True)
+        key = int(uq[cnt == cnt.max()].min())
+        pair = chr(key // shift) + chr(key % shift)
+        tok = merge_token(m)
         merges.append((pair, tok))
-        cur = cur.select(F.replace(F.col("s"), F.lit(pair), F.lit(tok)).alias("s"))
+        texts = [s.replace(pair, tok) for s in texts]
     return merges
 
 

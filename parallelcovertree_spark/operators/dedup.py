@@ -480,14 +480,18 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("p_label").alias("label"))
         )
-        new = jumped.localCheckpoint(eager=True)
-        changed = (
-            new.alias("n")
+        # carry the previous label through the round's checkpoint so the
+        # convergence test is a map-only scan of cached rows, not an extra
+        # shuffle join of two checkpointed frames per round
+        delta = (
+            jumped.alias("n")
             .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
+            .select("node", F.col("n.label").alias("label"),
+                    F.col("o.label").alias("_old"))
+            .localCheckpoint(eager=True)
         )
-        labels = new
+        changed = delta.where(F.col("label") != F.col("_old")).count()
+        labels = delta.select("node", "label")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iters} rounds")

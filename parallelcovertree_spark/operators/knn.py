@@ -679,28 +679,30 @@ def knn_join_block_kernel(
         rr = r
 
         def kernel(batches):
-            carry: pd.DataFrame | None = None
+            # columns as raw numpy (Arrow-native, no pandas block conversion
+            # for the ~1.3M-row shuffle leg — guide §4.2)
+            carry: dict | None = None
 
-            def solve(pdf: pd.DataFrame, last: bool):
+            def solve(cols: dict, last: bool):
                 nonlocal carry
                 if carry is not None:
-                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                    cols = {n: np.concatenate([carry[n], cols[n]]) for n in cols}
                     carry = None
-                blocks = pdf["block"].to_numpy(np.int64)
+                blocks = cols["block"]
                 if not last:
                     tail = blocks == blocks[-1]
                     if tail.all():
-                        carry = pdf
+                        carry = cols
                         return None
-                    carry = pdf.iloc[np.nonzero(tail)[0]]
-                    pdf = pdf.iloc[np.nonzero(~tail)[0]]
-                    blocks = blocks[~tail]
-                cells = pdf["cell"].to_numpy(np.int64)
-                ids = pdf["pid"].to_numpy(np.int64)
-                xy = np.stack([pdf["px"].to_numpy(np.float64),
-                               pdf["py"].to_numpy(np.float64)], axis=1)
-                core = pdf["core"].to_numpy(bool)
-                cand = pdf["cand"].to_numpy(bool)
+                    keep = ~tail
+                    carry = {n: v[tail] for n, v in cols.items()}
+                    cols = {n: v[keep] for n, v in cols.items()}
+                    blocks = cols["block"]
+                cells = cols["cell"]
+                ids = cols["pid"]
+                xy = np.stack([cols["px"], cols["py"]], axis=1)
+                core = cols["core"]
+                cand = cols["cand"]
                 r2 = rr * rr
                 out_src, out_dst, fail_src = [], [], []
                 # iterate block groups; within each, unique-cell directory
@@ -768,14 +770,25 @@ def knn_join_block_kernel(
                     [pa.array(src_arr, pa.int64()), topk], ["src", "topk"]
                 )
 
+            _DT = {"block": np.int64, "cell": np.int64, "pid": np.int64,
+                   "px": np.float64, "py": np.float64, "core": bool, "cand": bool}
+
+            def to_cols(rb):
+                names = rb.schema.names
+                return {
+                    n: rb.column(j).to_numpy(zero_copy_only=False).astype(
+                        _DT[n], copy=False)
+                    for j, n in enumerate(names) if n in _DT
+                }
+
             prev = None
             for rb in batches:
-                pdf = rb.to_pandas()
+                cols = to_cols(rb)
                 if prev is not None:
                     out = solve(prev, last=False)
                     if out is not None and len(out):
                         yield out
-                prev = pdf
+                prev = cols
             if prev is not None:
                 out = solve(prev, last=True)
                 if out is not None and len(out):

@@ -450,6 +450,7 @@ class _DriverRounds:
     def write_applied(self, path: str) -> dict[int, int]:
         import pyarrow as pa
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
 
         os.makedirs(path, exist_ok=True)
         blk = self.blk
@@ -457,10 +458,16 @@ class _DriverRounds:
         # several files so the downstream scan parallelizes
         chunks = max(1, min(32, (n + 131071) // 131072))
         bounds = np.linspace(0, n, chunks + 1, dtype=np.int64)
-        for i in range(chunks):
+
+        def write_chunk(i: int) -> None:
             lo, hi = int(bounds[i]), int(bounds[i + 1])
             t = pa.table({c: blk[c][lo:hi] for c in _STATE_COLS})
             pq.write_table(t, os.path.join(path, f"part-{i:05d}.parquet"))
+
+        # pyarrow releases the GIL: thread-parallel writes instead of a
+        # sequential driver loop (tmpfs-backed, so this is CPU-bound encode)
+        with ThreadPoolExecutor(max_workers=min(8, chunks)) as pool:
+            list(pool.map(write_chunk, range(chunks)))
         act = blk["hub_vtx"][blk["hub_vtx"] >= 0]
         hubs, cnts = np.unique(act, return_counts=True)
         return dict(zip(hubs.tolist(), cnts.tolist()))

@@ -374,10 +374,13 @@ def minhash_signatures_np(
     src = docs.select(id_col, text_col)
     # small corpora arrive as one parquet split → the whole hash kernel runs
     # on ONE core; widen to the session's parallelism (no-op at scale, where
-    # the scan already has ≥ that many splits)
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < target:
-        src = src.repartition(target)
+    # the scan already has ≥ that many splits). Streaming inputs skip the
+    # probe (`.rdd` is illegal on a streaming DataFrame; micro-batch
+    # parallelism is the source's concern).
+    if not docs.isStreaming:
+        target = docs.sparkSession.sparkContext.defaultParallelism
+        if src.rdd.getNumPartitions() < target:
+            src = src.repartition(target)
     return src.mapInPandas(kernel, "doc_id long, sig array<long>")
 
 

@@ -824,16 +824,45 @@ def knn_join_block_kernel(
         if remaining * n_total <= brute_pair_budget or round_no == max_rounds - 1:
             _t3 = _time.time()
             qsrc = qbase if qbase is not None else base
+            if remaining * n_total <= 20_000_000:
+                # tiny pair count: one whole-stage-codegen scan of the cached
+                # base (broadcast join + window) beats shipping the base
+                # through Arrow to Python — measured 0.45s vs 1.05s warm at
+                # remaining=2, 1M corpus
+                strag = qsrc.join(
+                    F.broadcast(unresolved_ids), qsrc.pid == F.col("src")
+                ).select(F.col("pid").alias("q"), F.col("px").alias("qx"),
+                         F.col("py").alias("qy"))
+                cand = F.broadcast(strag).join(
+                    base, F.col("q") != F.col("pid") if mask_same else F.lit(True)
+                )
+                d2w = ((F.col("qx") - F.col("px")) * (F.col("qx") - F.col("px"))
+                       + (F.col("qy") - F.col("py")) * (F.col("qy") - F.col("py")))
+                w = Window.partitionBy("q").orderBy(d2w.asc(), F.col("pid").asc())
+                results.append(
+                    cand.withColumn("nbr_rank", F.row_number().over(w))
+                    .where(F.col("nbr_rank") <= k)
+                    .select(F.col("q").alias("src"), "nbr_rank",
+                            F.col("pid").alias("dst"))
+                    .localCheckpoint(eager=True)
+                )
+                if _dbg:
+                    print(
+                        f"[knn-block] straggler remaining={remaining} "
+                        f"broadcast-window {_time.time() - _t3:.2f}s",
+                        flush=True,
+                    )
+                break
             strag_rows = qsrc.join(
                 F.broadcast(unresolved_ids), qsrc.pid == F.col("src")
             ).select("pid", "px", "py").collect()
-            # partial-top-k scan: the old broadcast-join + window shuffled
-            # remaining·n candidate rows into `remaining` window partitions
-            # (2 stragglers ⇒ 2 tasks each sorting ~n rows, 0.4-1.9s). Now
-            # each base partition emits only its own top-k per straggler
-            # (numpy, exact (d², dst) tie-break), and the final window ranks
-            # ≤ partitions·k·remaining tiny rows. Map-side aggregation
-            # before the shuffle, guide §2.3.
+            # partial-top-k scan for LARGE straggler sets: the broadcast-join
+            # + window above shuffles remaining·n candidate rows into
+            # `remaining` window partitions (a giant sort per straggler when
+            # remaining·n is big). Here each base partition emits only its
+            # own top-k per straggler (numpy, exact (d², dst) tie-break), and
+            # the final window ranks ≤ partitions·k·remaining tiny rows.
+            # Map-side aggregation before the shuffle, guide §2.3.
             sq_ids = np.array([r.pid for r in strag_rows], dtype=np.int64)
             sq_xy = np.array([[r.px, r.py] for r in strag_rows], dtype=np.float64)
             ms = mask_same

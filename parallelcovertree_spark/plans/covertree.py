@@ -425,27 +425,71 @@ class _DriverRounds:
     as the distributed _BlockRounds, so the two paths are bit-identical
     (pinned by test_covertree's driver-vs-block equivalence test). The
     reference's rank state (DistCoverTree.cpp:85-130) degenerates to this
-    exactly when nprocs=1."""
+    exactly when nprocs=1.
 
-    def __init__(self, blk: dict):
+    The per-round kernels run THREAD-PARALLEL over contiguous slice views
+    of the state arrays (numpy releases the GIL in the dominant ops:
+    searchsorted / ufuncs / argsort). Per-row work is elementwise and the
+    per-chunk argmax partials merge through the same order-independent
+    ``_merge_partials`` reduction the multi-partition block path already
+    uses, so any chunking yields identical results (measured: the 1M-row
+    tail update + regroup were ~1.1 s of the 1.35 s round total,
+    single-threaded)."""
+
+    def __init__(self, blk: dict, n_threads: int | None = None):
         self.blk = blk
-        self._grp = None  # cached hub grouping (valid across extend rounds)
-        # widen coords once — every round's tail-update reads them
-        self._xy64 = (blk["x"].astype(np.float64), blk["y"].astype(np.float64))
+        n = len(blk["pid"])
+        if n_threads is None:
+            n_threads = int(os.environ.get("COVERGRID_DRIVER_THREADS", "8"))
+        # ≥128k rows per chunk: below that, thread dispatch beats the win
+        k = max(1, min(int(n_threads), n // 131072)) if n else 1
+        bounds = np.linspace(0, n, k + 1, dtype=np.int64)
+        # slice views alias self.blk: in-place op application on a view IS
+        # application on the full array, so blk stays the single source of
+        # truth for hub_balance / write_applied downstream
+        self._views = [
+            {c: blk[c][lo:hi] for c in _STATE_COLS}
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+        ]
+        # widen coords once per chunk — every round's tail-update reads them
+        self._xy64 = [
+            (v["x"].astype(np.float64), v["y"].astype(np.float64))
+            for v in self._views
+        ]
+        # cached per-chunk hub grouping (valid across extend rounds)
+        self._grps: list = [None] * k
+        if k > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=k)
+        else:
+            self._pool = None
+
+    def _map(self, fn):
+        if self._pool is None:
+            return [fn(i) for i in range(len(self._views))]
+        return list(self._pool.map(fn, range(len(self._views))))
 
     def round(self, new_ops: dict | None):
         if new_ops is not None:
             self.push_ops(_sorted_ops(new_ops))
-        if self._grp is None:
-            self._grp = _hub_grouping(self.blk)
-        return _merge_partials([_hub_argmax_np(self.blk, self._grp)])
+
+        def g(i):
+            if self._grps[i] is None:
+                self._grps[i] = _hub_grouping(self._views[i])
+            return _hub_argmax_np(self._views[i], self._grps[i])
+
+        return _merge_partials(self._map(g))
 
     def push_ops(self, sorted_ops: dict) -> None:
         # in place: the driver owns its block (no persisted RDD aliasing)
-        self.blk = _apply_ops_np(self.blk, sorted_ops, inplace=True,
-                                 xy64=self._xy64)
+        def a(i):
+            _apply_ops_np(self._views[i], sorted_ops, inplace=True,
+                          xy64=self._xy64[i])
+
+        self._map(a)
         if len(sorted_ops["leaves"]) or len(sorted_ops["split_hubs"]):
-            self._grp = None  # hub assignment changed → regroup
+            self._grps = [None] * len(self._views)  # hubs changed → regroup
 
     def write_applied(self, path: str) -> dict[int, int]:
         import pyarrow as pa
@@ -480,7 +524,13 @@ class _DriverRounds:
         return 1
 
     def release(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
         self.blk = None
+        self._views = []
+        self._grps = []
+        self._xy64 = []
 
 
 def _state_to_driver(state: DataFrame) -> dict:
@@ -936,7 +986,10 @@ def build_cover_tree(
     if chains:
         local_roots = sorted(chains.keys())
         hub_meta = spark.createDataFrame(
-            [(h, vlevel[h], chains[h][0]) for h in local_roots],
+            pd.DataFrame(
+                [(h, vlevel[h], chains[h][0]) for h in local_roots],
+                columns=["h_vtx", "h_level", "h_pid"],
+            ),
             "h_vtx long, h_level long, h_pid long",
         )
         # project to exactly what the kernel reads (guide §4: an opaque
@@ -950,22 +1003,31 @@ def build_cover_tree(
         )
         b = base
 
-        def build_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            hub = int(pdf["hub_vtx"].iloc[0])
-            hlevel = int(pdf["h_level"].iloc[0])
-            hpid = int(pdf["h_pid"].iloc[0])
+        def build_group(t_in):
+            # Arrow-native grouped map (guide §4.2 transport discipline, same
+            # as the kNN kernel): int64/float32 columns come out of the Arrow
+            # batch zero-copy; no pandas block consolidation either way
+            import pyarrow as pa
+
+            def col(name, dt):
+                return t_in.column(name).combine_chunks().to_numpy(
+                    zero_copy_only=False).astype(dt, copy=False)
+
+            pids = col("pid", np.int64)
+            hub = int(t_in.column("hub_vtx")[0].as_py())
+            hlevel = int(t_in.column("h_level")[0].as_py())
+            hpid = int(t_in.column("h_pid")[0].as_py())
             # root (hub point) first, members by ascending pid: deterministic
             # (lexsort primary key = last: root flag, then ascending pid —
             # same order as the former _is_root/pid sort_values)
-            pids = pdf["pid"].to_numpy(np.int64)
             order = np.lexsort((pids, pids != hpid))
             pids = pids[order]
             xy = np.stack(
-                [pdf["x"].to_numpy(np.float32)[order],
-                 pdf["y"].to_numpy(np.float32)[order]], axis=1
+                [col("x", np.float32)[order], col("y", np.float32)[order]],
+                axis=1,
             )
             t = build_cover_tree_np(xy, base=b)
-            return pd.DataFrame({
+            return pa.table({
                 "hub_id": np.full(len(t.pt), hub, dtype=np.int64),
                 "lvertex_id": np.arange(len(t.pt), dtype=np.int64),
                 "point_id": pids[t.pt],
@@ -985,7 +1047,7 @@ def build_cover_tree(
         local_trees = (
             active.repartition(n_parts, "hub_vtx")
             .groupBy("hub_vtx")
-            .applyInPandas(build_group, LOCAL_TREE_SCHEMA)
+            .applyInArrow(build_group, LOCAL_TREE_SCHEMA)
             .localCheckpoint(eager=True)
         )
         _trace("local_trees", t0)
@@ -1056,20 +1118,24 @@ def build_cover_tree(
 
 
 def _vertices_df(spark: SparkSession, verts: list[tuple]) -> DataFrame:
+    # pandas → Arrow path: one partition, no per-row Py4J pickling — measured
+    # 50 ms vs 310 ms for the tuple path on the 135-row top table (values are
+    # plain int64s, so the conversion is exact)
+    pdf = pd.DataFrame(verts, columns=["vertex_id", "point_id", "parent_id", "level"])
     return spark.createDataFrame(
-        verts, "vertex_id long, point_id long, parent_id long, level long"
+        pdf, "vertex_id long, point_id long, parent_id long, level long"
     )
 
 
 def _metrics_df(spark: SparkSession, metrics: list[dict]) -> DataFrame:
     schema = ("iter long, n_hubs long, n_leaf_hubs long, n_split_verts long, "
               "n_extended long, duration_ms long, n_partitions long")
-    rows = [
-        (m["iter"], m["n_hubs"], m["n_leaf_hubs"], m["n_split_verts"],
-         m["n_extended"], m["duration_ms"], m["n_partitions"])
-        for m in metrics
-    ]
-    return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    cols = ["iter", "n_hubs", "n_leaf_hubs", "n_split_verts",
+            "n_extended", "duration_ms", "n_partitions"]
+    if not metrics:
+        return spark.createDataFrame([], schema)
+    pdf = pd.DataFrame([[m[c] for c in cols] for m in metrics], columns=cols)
+    return spark.createDataFrame(pdf, schema)
 
 
 def _write_checkpoint(checkpoint_dir, state, it, base, max_radius, root_pid,

@@ -17,7 +17,6 @@ DistCoverTree.cpp:657-677).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -171,11 +170,15 @@ def tree_radius_join(
     )
 
     def stage1(batches):
-        """Per batch: (a) grid radius match against the stage-1 point set
-        (hits), (b) rectangle-stab against the hub boxes (routes). Replaces
-        the per-level top-tree frontier traversal — same hit set (the
-        traversal finds exactly the within-r stage-1 points), box-exact
-        route set, ~3× less CPU at 1M queries."""
+        """Per Arrow batch: (a) grid radius match against the stage-1 point
+        set (hits), (b) rectangle-stab against the hub boxes (routes).
+        Replaces the per-level top-tree frontier traversal — same hit set
+        (the traversal finds exactly the within-r stage-1 points), box-exact
+        route set, ~3× less CPU at 1M queries. Arrow-native transport (guide
+        §4.2): int64/float64 columns come out of the batch zero-copy, hits
+        and routes go back as separate record batches — no pandas blocks."""
+        import pyarrow as pa
+
         t, point_ids, s1pids, s1i, hboxes, hvids = bc.value
         # box margin: 1e-9 relative slack makes the prune immune to last-bit
         # rounding differences — a kept route costs a little stage-2 work, a
@@ -213,21 +216,22 @@ def tree_radius_join(
             uend = np.concatenate([ustart[1:], [len(keys)]])
             stab = (g, cymin, cymax, span, uk, ustart, uend, bidx,
                     x0, x1, y0, y1)
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            qx = pdf["qx"].to_numpy(np.float64)
-            qy = pdf["qy"].to_numpy(np.float64)
-            out = []
+            tb = pa.Table.from_batches([rb])
+            qid = tb.column("qid").combine_chunks().to_numpy(zero_copy_only=False)
+            qx = tb.column("qx").combine_chunks().to_numpy(zero_copy_only=False)
+            qy = tb.column("qy").combine_chunks().to_numpy(zero_copy_only=False)
             hq, hp = grid_radius_pairs(s1x, s1y, qx, qy, r)
             if len(hq):
-                out.append(pd.DataFrame({
-                    "qid": pdf["qid"].to_numpy()[hq],
+                yield pa.record_batch({
+                    "qid": qid[hq],
                     "kind": np.zeros(len(hq), dtype=np.int32),
                     "key": s1pids[hp],
                     "qx": qx[hq],
                     "qy": qy[hq],
-                }))
+                })
             if stab is not None:
                 (g, cymin, cymax, span, uk, ustart, uend, bidx,
                  x0, x1, y0, y1) = stab
@@ -249,22 +253,20 @@ def tree_radius_join(
                 keep = gx * gx + gy * gy <= rm2
                 rq, cand = rq[keep], cand[keep]
                 if len(rq):
-                    out.append(pd.DataFrame({
-                        "qid": pdf["qid"].to_numpy()[rq],
+                    yield pa.record_batch({
+                        "qid": qid[rq],
                         "kind": np.ones(len(rq), dtype=np.int32),
                         "key": hvids[cand],
                         "qx": qx[rq],
                         "qy": qy[rq],
-                    }))
-            if out:
-                yield pd.concat(out, ignore_index=True)
+                    })
 
     # localCheckpoint, not persist: routed feeds two consumers (direct hits +
     # hub routing); an eager checkpoint computes stage 1 once and is released
     # by the ContextCleaner when the result goes out of scope — a persist()
     # here had no unpersist point (the result is lazy) and accumulated one
     # cached RDD per traversal round under tree_knn
-    routed = q.mapInPandas(stage1, _STAGE1_SCHEMA).localCheckpoint(eager=True)
+    routed = q.mapInArrow(stage1, _STAGE1_SCHEMA).localCheckpoint(eager=True)
     hits_top = routed.where(F.col("kind") == 0).select("qid", F.col("key").alias("pid"))
 
     if model.has_global_leaves:
@@ -300,9 +302,16 @@ def tree_radius_join(
         F.col("key").alias("hub_id"), "qid", "qx", "qy"
     )
 
-    def stage2(key, routes_pdf: pd.DataFrame, tree_pdf: pd.DataFrame) -> pd.DataFrame:
-        if not len(routes_pdf) or not len(tree_pdf):
-            return pd.DataFrame({"qid": pd.Series(dtype=np.int64), "pid": pd.Series(dtype=np.int64)})
+    def stage2(routes_tb, tree_tb):
+        import pyarrow as pa
+
+        if not routes_tb.num_rows or not tree_tb.num_rows:
+            return pa.table({"qid": np.empty(0, np.int64),
+                             "pid": np.empty(0, np.int64)})
+
+        def col(tb, name):
+            return tb.column(name).combine_chunks().to_numpy(zero_copy_only=False)
+
         _t, _pi, s1pids, _s1i, _hb, _hv = bc.value
         # dense grid finish over the hub's UNIQUE member points: same exact
         # result set as traversing the local tree (every member appears as a
@@ -310,20 +319,20 @@ def tree_radius_join(
         # measured ~30× cheaper at ε-graph radii. Distinct-by-construction
         # is now free (unique points ⇒ no chain-duplicate dedupe), and the
         # stage-1-tested points are dropped up-front instead of post-hoc.
-        pids = tree_pdf["point_id"].to_numpy(np.int64)
+        pids = col(tree_tb, "point_id")
         upids, first = np.unique(pids, return_index=True)
         keep = ~np.isin(upids, s1pids)
         upids, first = upids[keep], first[keep]
         if not len(upids):
-            return pd.DataFrame({"qid": pd.Series(dtype=np.int64), "pid": pd.Series(dtype=np.int64)})
-        px = tree_pdf["px"].to_numpy(np.float32)[first].astype(np.float64)
-        py = tree_pdf["py"].to_numpy(np.float32)[first].astype(np.float64)
+            return pa.table({"qid": np.empty(0, np.int64),
+                             "pid": np.empty(0, np.int64)})
+        px = col(tree_tb, "px")[first].astype(np.float64)
+        py = col(tree_tb, "py")[first].astype(np.float64)
         hq, hp = grid_radius_pairs(
-            px, py, routes_pdf["qx"].to_numpy(np.float64),
-            routes_pdf["qy"].to_numpy(np.float64), r,
+            px, py, col(routes_tb, "qx"), col(routes_tb, "qy"), r,
         )
-        return pd.DataFrame({
-            "qid": routes_pdf["qid"].to_numpy()[hq],
+        return pa.table({
+            "qid": col(routes_tb, "qid")[hq],
             "pid": upids[hp],
         })
 
@@ -334,7 +343,7 @@ def tree_radius_join(
     hits_local = (
         to_route.groupBy("hub_id")
         .cogroup(tree_side.groupBy("hub_id"))
-        .applyInPandas(stage2, "qid long, pid long")
+        .applyInArrow(stage2, "qid long, pid long")
     )
     # sources are pairwise disjoint (see docstring) → plain union, no shuffle
     out = hits_top.unionByName(hits_local).select(

@@ -151,27 +151,36 @@ def build_cover_tree_np(xy: np.ndarray, base: float = 2.0) -> TreeArrays:
         far_idx = idx[order][pick]
         far_dist = sd[pick]
 
-        leaf_set: set[int] = set()
-        split_hubs: list[int] = []
-        tails: dict[int, int] = {}
+        # --- vectorized per-hub chain decision (CoverTree.cpp:133-165) ------
+        # fdn / ball arithmetic is the same IEEE double expression tree as
+        # the former per-hub Python loop (ball via Python pow on the few
+        # UNIQUE levels, then gathered), so the leaf/split/extend partition
+        # is bit-identical; only the loop bookkeeping is vectorized (the
+        # 150k-point profile showed the decision loop + tails-dict
+        # conversion as ~45% of kernel CPU).
         v_level = vs.lvl
-        for hub, fi, fd in zip(far_hub.tolist(), far_idx.tolist(), far_dist.tolist()):
-            fdn = fd / max_radius
-            ball = base ** (-1.0 * v_level[hub])
-            if fdn == 0.0:
-                leaf_set.add(hub)
-                del chains[hub]
-            elif fdn <= ball / base:
-                split_hubs.append(hub)
-            else:
-                chains[hub].append(fi)
-                tails[hub] = fi
+        hub_lvls = v_level[far_hub]
+        ulvl, lvl_code = np.unique(hub_lvls, return_inverse=True)
+        ball_over_base = np.array(
+            [base ** (-1.0 * l) / base for l in ulvl.tolist()], dtype=np.float64
+        )[lvl_code]
+        fdn = far_dist / max_radius
+        leaf_m = fdn == 0.0
+        split_m = ~leaf_m & (fdn <= ball_over_base)
+        ext_m = ~(leaf_m | split_m)
+
+        ext_h = far_hub[ext_m]
+        ext_f = far_idx[ext_m]
+        for h, f in zip(ext_h.tolist(), ext_f.tolist()):
+            chains[h].append(f)
 
         # --- leaves: every point of the hub becomes a child vertex ----------
         # (vectorized: one chunk append per round, nonzero order == the old
         # per-point append order, so vertex ids are bit-identical)
-        if leaf_set:
-            leaf_arr = np.fromiter(leaf_set, dtype=np.int64)
+        if leaf_m.any():
+            leaf_arr = far_hub[leaf_m]
+            for h in leaf_arr.tolist():
+                del chains[h]
             m = active & np.isin(hub_vtx, leaf_arr)
             li = np.nonzero(m)[0]
             if len(li):
@@ -183,35 +192,26 @@ def build_cover_tree_np(xy: np.ndarray, base: float = 2.0) -> TreeArrays:
             dists[m] = 0.0
 
         # --- splits: chain members → new hubs; re-home by nearest member ----
-        if split_hubs:
-            pt_to_newvtx: dict[int, int] = {}
-            s_pts: list[int] = []
-            s_lvls: list[int] = []
-            s_pars: list[int] = []
-            vid = vs.n
-            v_level = vs.lvl
-            for hub in split_hubs:
-                hlvl1 = int(v_level[hub]) + 1
-                for member in chains[hub]:
-                    s_pts.append(member)
-                    s_lvls.append(hlvl1)
-                    s_pars.append(hub)
-                    chains[vid] = [member]
-                    tails[vid] = member
-                    pt_to_newvtx[member] = vid
-                    vid += 1
-                del chains[hub]
-            vs.append_chunk(
-                np.asarray(s_pts, dtype=np.int64),
-                np.asarray(s_lvls, dtype=np.int64),
-                np.asarray(s_pars, dtype=np.int64),
-            )
+        # (split hubs processed in ascending-hub order == far_hub order;
+        # each hub's members in chain append order — identical vertex ids)
+        new_vids = new_mems = None
+        if split_m.any():
+            split_h = far_hub[split_m]
+            mem_lists = [chains.pop(h) for h in split_h.tolist()]
+            lens = np.array([len(ml) for ml in mem_lists], dtype=np.int64)
+            flat = [m_ for ml in mem_lists for m_ in ml]
+            s_pts = np.array(flat, dtype=np.int64)
+            vid0 = vs.n
+            s_pars = np.repeat(split_h, lens)
+            vs.append_chunk(s_pts, v_level[s_pars] + 1, s_pars)
+            new_vids = np.arange(vid0, vid0 + len(s_pts), dtype=np.int64)
+            new_mems = s_pts
+            for v, m_ in zip(new_vids.tolist(), flat):
+                chains[v] = [m_]
             # vectorized re-home: hub_pt is always a chain member of the
             # point's own hub, and chains are disjoint across hubs
-            keys = np.fromiter(pt_to_newvtx.keys(), dtype=np.int64)
-            vals = np.fromiter((pt_to_newvtx[k] for k in keys.tolist()), dtype=np.int64)
-            srt = np.argsort(keys)
-            keys, vals = keys[srt], vals[srt]
+            srt = np.argsort(s_pts)
+            keys, vals = s_pts[srt], new_vids[srt]
             m = active
             pos = np.searchsorted(keys, hub_pt[m])
             pos_ok = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == hub_pt[m])
@@ -219,9 +219,16 @@ def build_cover_tree_np(xy: np.ndarray, base: float = 2.0) -> TreeArrays:
             hub_vtx[upd] = vals[pos[pos_ok]]
 
         # --- incremental distance update vs newest chain member -------------
-        if tails:
-            th = np.fromiter(tails.keys(), dtype=np.int64)
-            tp = np.fromiter((tails[k] for k in th.tolist()), dtype=np.int64)
+        # tails = extended hubs' new chain tails + each new split hub's
+        # initial member; keys are disjoint (a hub either extended or split)
+        if len(ext_h) or new_vids is not None:
+            if new_vids is None:
+                th, tp = ext_h, ext_f
+            elif not len(ext_h):
+                th, tp = new_vids, new_mems
+            else:
+                th = np.concatenate([ext_h, new_vids])
+                tp = np.concatenate([ext_f, new_mems])
             srt = np.argsort(th)
             th, tp = th[srt], tp[srt]
             m = active

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from parallelcovertree_spark.functions.geo import dist2_expr
+from parallelcovertree_spark.plans.local_tree import _ragged_arange
 
 
 def _prep(points: DataFrame, id_col: str, x: str, y: str, role: str) -> DataFrame:
@@ -584,9 +585,13 @@ def knn_join_block_kernel(
         s = cell_factor * r
         ix = F.floor(F.col("px") / F.lit(s)).cast("long")
         iy = F.floor(F.col("py") / F.lit(s)).cast("long")
+        # NOTE: no "cell" column and no within-partition sort — the kernel
+        # re-derives cells from (px, py) with the same IEEE floor(px / s) the
+        # JVM would use and sorts its partition in numpy (a partition is a
+        # few MB of columns; one lexsort replaces the JVM Timsort AND 8
+        # bytes/row of shuffle + Arrow traffic)
         cands = base.select(
             "pid", "px", "py",
-            ((ix + OFF) * M + (iy + OFF)).alias("cell"),
             F.pmod(ix, F.lit(B)).alias("mx"), F.pmod(iy, F.lit(B)).alias("my"),
             ((ix - F.pmod(ix, F.lit(B))) / B).cast("long").alias("bx"),
             ((iy - F.pmod(iy, F.lit(B))) / B).cast("long").alias("by"),
@@ -609,11 +614,11 @@ def knn_join_block_kernel(
                        F.struct(sx.alias("dx"), sy.alias("dy"))),
             )
             ex = (
-                cands.select("pid", "px", "py", "cell", "bx", "by",
+                cands.select("pid", "px", "py", "bx", "by",
                              F.explode(ents).alias("_o"))
                 .where(F.col("_o").isNotNull())
                 .select(
-                    "pid", "px", "py", "cell",
+                    "pid", "px", "py",
                     ((F.col("bx") + F.col("_o.dx") + OFF) * M
                      + (F.col("by") + F.col("_o.dy") + OFF)).alias("block"),
                     ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("own"),
@@ -633,11 +638,11 @@ def knn_join_block_kernel(
                 | ((F.col("_o.dy") == 1) & (F.col("my") == B - 1))
             )
             ex = (
-                cands.select("pid", "px", "py", "cell", "mx", "my", "bx", "by",
+                cands.select("pid", "px", "py", "mx", "my", "bx", "by",
                              F.explode(offs).alias("_o"))
                 .where(xok & yok)
                 .select(
-                    "pid", "px", "py", "cell",
+                    "pid", "px", "py",
                     ((F.col("bx") + F.col("_o.dx") + OFF) * M
                      + (F.col("by") + F.col("_o.dy") + OFF)).alias("block"),
                     ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("own"),
@@ -646,22 +651,21 @@ def knn_join_block_kernel(
         if qbase is not None:
             # two-table: corpus rows are candidates only; query rows go to
             # their own block, are cores only
-            ex = ex.select("pid", "px", "py", "cell", "block",
+            ex = ex.select("pid", "px", "py", "block",
                            F.lit(False).alias("core"), F.lit(True).alias("cand"))
             qrows = qbase.select(
                 "pid", "px", "py",
-                ((ix + OFF) * M + (iy + OFF)).alias("cell"),
                 (((ix - F.pmod(ix, F.lit(B))) / B).cast("long") + OFF).alias("_bx"),
                 (((iy - F.pmod(iy, F.lit(B))) / B).cast("long") + OFF).alias("_by"),
             ).select(
-                "pid", "px", "py", "cell",
+                "pid", "px", "py",
                 (F.col("_bx") * M + F.col("_by")).alias("block"),
                 F.lit(True).alias("core"), F.lit(False).alias("cand"),
             )
             if unresolved_ids is not None:
                 flag = unresolved_ids.withColumn("_u", F.lit(True))
                 qrows = qrows.join(flag, qrows.pid == flag.src, "left").select(
-                    "pid", "px", "py", "cell", "block",
+                    "pid", "px", "py", "block",
                     F.coalesce(F.col("_u"), F.lit(False)).alias("core"), "cand",
                 )
             ex = ex.unionByName(qrows)
@@ -672,87 +676,105 @@ def knn_join_block_kernel(
         else:
             flag = unresolved_ids.withColumn("_u", F.lit(True))
             ex = ex.join(flag, ex.pid == flag.src, "left").select(
-                "pid", "px", "py", "cell", "block",
+                "pid", "px", "py", "block",
                 (F.col("own") & F.coalesce(F.col("_u"), F.lit(False))).alias("core"),
                 F.lit(True).alias("cand"),
             )
         rr = r
+        ss = s
 
         def kernel(batches):
             # columns as raw numpy (Arrow-native, no pandas block conversion
-            # for the ~1.3M-row shuffle leg — guide §4.2)
-            carry: dict | None = None
+            # for the ~1.3M-row shuffle leg — guide §4.2). The whole
+            # partition is gathered (a few MB of narrow columns even at 10M
+            # points), cells are re-derived from (px, py) — np.floor(px / s)
+            # is the identical IEEE-double op to the JVM FLOOR that built the
+            # block ids — and ONE numpy lexsort groups (block, cell),
+            # replacing the JVM sortWithinPartitions and the shipped cell
+            # column (8 bytes/row of shuffle + Arrow saved).
 
-            def solve(cols: dict, last: bool):
-                nonlocal carry
-                if carry is not None:
-                    cols = {n: np.concatenate([carry[n], cols[n]]) for n in cols}
-                    carry = None
+            def solve(cols: dict):
                 blocks = cols["block"]
-                if not last:
-                    tail = blocks == blocks[-1]
-                    if tail.all():
-                        carry = cols
-                        return None
-                    keep = ~tail
-                    carry = {n: v[tail] for n, v in cols.items()}
-                    cols = {n: v[keep] for n, v in cols.items()}
-                    blocks = cols["block"]
-                cells = cols["cell"]
                 ids = cols["pid"]
-                xy = np.stack([cols["px"], cols["py"]], axis=1)
-                core = cols["core"]
-                cand = cols["cand"]
+                px_a = cols["px"]
+                py_a = cols["py"]
+                ixk = np.floor(px_a / ss).astype(np.int64)
+                iyk = np.floor(py_a / ss).astype(np.int64)
+                cells = (ixk + OFF) * M + (iyk + OFF)
+                order = np.lexsort((cells, blocks))
+                blocks = blocks[order]
+                cells = cells[order]
+                ids = ids[order]
+                px_a = px_a[order]
+                py_a = py_a[order]
+                core = cols["core"][order]
+                cand = cols["cand"][order]
                 r2 = rr * rr
                 out_src, out_dst, fail_src = [], [], []
-                # iterate block groups; within each, unique-cell directory
+                # iterate block groups; within each, a fully vectorized
+                # grouped top-k (no per-cell Python loop): ring-gather every
+                # core row's 3x3 cell neighborhood through the sorted cell
+                # directory, one d2 pass, one (src, d2, dst) lexsort, take
+                # rank < k per certified core. Certification rule unchanged:
+                # a core with >= k within-r candidates (self excluded when
+                # mask_same) is exact — the halo guarantees its full ring is
+                # present, so every point within r is among the candidates —
+                # and the lexsort yields the exact (d2 asc, dst asc) order.
                 bbounds = np.nonzero(np.diff(blocks))[0] + 1
                 bstarts = np.concatenate([[0], bbounds])
                 bends = np.concatenate([bbounds, [len(blocks)]])
                 for b0, b1 in zip(bstarts, bends):
                     bc = cells[b0:b1]
-                    uc, ustart = np.unique(bc, return_index=True)
-                    uend = np.concatenate([ustart[1:], [len(bc)]])
-                    has_core = np.bitwise_or.reduceat(core[b0:b1], ustart)
-                    cidx = np.nonzero(has_core)[0]
-                    if not len(cidx):
+                    crows = np.nonzero(core[b0:b1])[0]
+                    if not len(crows):
                         continue
-                    # all core cells' neighbor lookups at once
-                    nbrs = uc[cidx][:, None] + NBR[None, :]
+                    uc, ustart = np.unique(bc, return_index=True)
+                    uend = np.concatenate([ustart[1:], [b1 - b0]])
+                    nbrs = bc[crows][:, None] + NBR[None, :]
                     pos = np.searchsorted(uc, nbrs)
-                    ok = (pos < len(uc)) & (uc[np.minimum(pos, len(uc) - 1)] == nbrs)
-                    for row_i, ci in enumerate(cidx):
-                        p = pos[row_i][ok[row_i]]
-                        cand_idx = np.concatenate(
-                            [np.arange(ustart[j], uend[j]) for j in p]
-                        ) + b0
-                        cand_idx = cand_idx[cand[cand_idx]]
-                        cm = core[b0 + ustart[ci]: b0 + uend[ci]]
-                        crows = np.arange(b0 + ustart[ci], b0 + uend[ci])[cm]
-                        if not len(crows):
-                            continue
-                        if len(cand_idx) < (k + 1 if mask_same else k):
-                            fail_src.append(ids[crows])
-                            continue
-                        cxy = xy[crows]
-                        cid = ids[crows]
-                        axy = xy[cand_idx]
-                        aid = ids[cand_idx]
-                        d2 = ((cxy[:, None, :] - axy[None, :, :]) ** 2).sum(axis=2)
-                        if mask_same:
-                            d2[cid[:, None] == aid[None, :]] = np.inf
-                        within = d2 <= r2
-                        okc = within.sum(axis=1) >= k
-                        if not okc.all():
-                            fail_src.append(cid[~okc])
-                        if not okc.any():
-                            continue
-                        dd = np.where(within[okc], d2[okc], np.inf)
-                        ordc = np.argsort(aid, kind="stable")
-                        dd = dd[:, ordc]
-                        sel = np.argsort(dd, axis=1, kind="stable")[:, :k]
-                        out_src.append(cid[okc])
-                        out_dst.append(aid[ordc][sel].ravel())
+                    posc = np.minimum(pos, len(uc) - 1)
+                    ok = (pos < len(uc)) & (uc[posc] == nbrs)
+                    lens = np.where(ok, uend[posc] - ustart[posc], 0).ravel()
+                    starts = np.where(ok, ustart[posc], 0).ravel()
+                    nz = lens > 0
+                    lens_nz, starts_nz = lens[nz], starts[nz]
+                    qrep = np.repeat(
+                        np.repeat(np.arange(len(crows), dtype=np.int64), 9)[nz],
+                        lens_nz,
+                    )
+                    crep = np.repeat(starts_nz, lens_nz) + _ragged_arange(lens_nz)
+                    keep = cand[b0 + crep]
+                    qrep, crep = qrep[keep], crep[keep]
+                    cr = b0 + crows[qrep]
+                    ca = b0 + crep
+                    dx = px_a[cr] - px_a[ca]
+                    dy = py_a[cr] - py_a[ca]
+                    d2 = dx * dx + dy * dy
+                    within = d2 <= r2
+                    if mask_same:
+                        within &= ids[cr] != ids[ca]
+                    hq = qrep[within]
+                    hp = ca[within]
+                    hd2 = d2[within]
+                    cnt = np.bincount(hq, minlength=len(crows))
+                    cert = cnt >= k
+                    if not cert.all():
+                        fail_src.append(ids[b0 + crows[~cert]])
+                    if not cert.any():
+                        continue
+                    m = cert[hq]
+                    hq, hp, hd2 = hq[m], hp[m], hd2[m]
+                    hdst = ids[hp]
+                    order = np.lexsort((hdst, hd2, hq))
+                    hq_s = hq[order]
+                    gstart = np.flatnonzero(np.r_[True, hq_s[1:] != hq_s[:-1]])
+                    gsize = np.diff(np.r_[gstart, len(hq_s)])
+                    rank = np.arange(len(hq_s), dtype=np.int64) - np.repeat(
+                        gstart, gsize
+                    )
+                    sel = rank < k
+                    out_src.append(ids[b0 + crows[hq_s[gstart]]])
+                    out_dst.append(hdst[order][sel])
                 src_ok = np.concatenate(out_src) if out_src else np.empty(0, np.int64)
                 dst_flat = np.concatenate(out_dst) if out_dst else np.empty(0, np.int64)
                 fs = np.concatenate(fail_src) if fail_src else np.empty(0, np.int64)
@@ -770,7 +792,7 @@ def knn_join_block_kernel(
                     [pa.array(src_arr, pa.int64()), topk], ["src", "topk"]
                 )
 
-            _DT = {"block": np.int64, "cell": np.int64, "pid": np.int64,
+            _DT = {"block": np.int64, "pid": np.int64,
                    "px": np.float64, "py": np.float64, "core": bool, "cand": bool}
 
             def to_cols(rb):
@@ -781,23 +803,18 @@ def knn_join_block_kernel(
                     for j, n in enumerate(names) if n in _DT
                 }
 
-            prev = None
-            for rb in batches:
-                cols = to_cols(rb)
-                if prev is not None:
-                    out = solve(prev, last=False)
-                    if out is not None and len(out):
-                        yield out
-                prev = cols
-            if prev is not None:
-                out = solve(prev, last=True)
+            chunks = [to_cols(rb) for rb in batches if rb.num_rows]
+            if chunks:
+                cols = (chunks[0] if len(chunks) == 1 else
+                        {n: np.concatenate([c[n] for c in chunks])
+                         for n in chunks[0]})
+                out = solve(cols)
                 if out is not None and len(out):
                     yield out
 
         _t1 = _time.time()
         solved = (
             ex.repartition(parts, "block")
-            .sortWithinPartitions("block", "cell")
             .mapInArrow(kernel, out_schema)
             .localCheckpoint(eager=True)
         )
@@ -826,9 +843,15 @@ def knn_join_block_kernel(
             qsrc = qbase if qbase is not None else base
             if remaining * n_total <= 20_000_000:
                 # tiny pair count: one whole-stage-codegen scan of the cached
-                # base (broadcast join + window) beats shipping the base
-                # through Arrow to Python — measured 0.45s vs 1.05s warm at
-                # remaining=2, 1M corpus
+                # base (broadcast join) beats shipping the base through Arrow
+                # to Python — measured 0.45s vs 1.05s warm at remaining=2,
+                # 1M corpus. The top-k itself is TWO-PHASE (guide §2.3
+                # map-side aggregation): a single window over q would sort
+                # remaining partitions of n rows each; instead phase 1 ranks
+                # within (q, pmod(pid, parts)) — `parts` small sorted groups —
+                # keeps k rows per group (any global top-k member is in its
+                # own salt group's top-k), and phase 2's window ranks only
+                # remaining·parts·k tiny rows.
                 strag = qsrc.join(
                     F.broadcast(unresolved_ids), qsrc.pid == F.col("src")
                 ).select(F.col("pid").alias("q"), F.col("px").alias("qx"),
@@ -838,9 +861,18 @@ def knn_join_block_kernel(
                 )
                 d2w = ((F.col("qx") - F.col("px")) * (F.col("qx") - F.col("px"))
                        + (F.col("qy") - F.col("py")) * (F.col("qy") - F.col("py")))
-                w = Window.partitionBy("q").orderBy(d2w.asc(), F.col("pid").asc())
+                pre = cand.select(
+                    "q", "pid", d2w.alias("_d2"),
+                    F.pmod(F.col("pid"), F.lit(parts)).alias("_salt"),
+                )
+                w1 = Window.partitionBy("q", "_salt").orderBy(
+                    F.col("_d2").asc(), F.col("pid").asc())
+                w2 = Window.partitionBy("q").orderBy(
+                    F.col("_d2").asc(), F.col("pid").asc())
                 results.append(
-                    cand.withColumn("nbr_rank", F.row_number().over(w))
+                    pre.withColumn("_rk", F.row_number().over(w1))
+                    .where(F.col("_rk") <= k)
+                    .withColumn("nbr_rank", F.row_number().over(w2))
                     .where(F.col("nbr_rank") <= k)
                     .select(F.col("q").alias("src"), "nbr_rank",
                             F.col("pid").alias("dst"))

@@ -1038,47 +1038,47 @@ def build_cover_tree(
                 "lmax_radius": np.full(len(t.pt), t.max_radius, dtype=np.float64),
             })
 
+        # ONE shaped checkpoint feeds the whole local phase AND the members
+        # table: the active rows are shuffled/sorted on hub_vtx exactly once
+        # and materialized with AQE off, so LogicalRDD keeps
+        # outputPartitioning/outputOrdering (the adaptive wrapper would
+        # report UnknownPartitioning). Downstream, (a) the per-hub groupBy
+        # build reads it with ZERO exchange and ZERO sort, and (b) the
+        # members table is a bare column projection (ProjectExec is
+        # alias-aware for both partitioning and ordering), replacing the
+        # former second full exchange+sort+checkpoint of the state — the
+        # shuffle moved from twice-per-build to once (guide §2.4), and every
+        # routed query's cogroup still reads the tree side exchange/sort-free.
+        # The explicit repartition also keeps this byte-light, compute-heavy
+        # exchange at n_parts tasks instead of the handful AQE would coalesce
+        # it to.
         t0 = time.time()
-        # explicit repartition: a user-specified shuffle is exempt from AQE
-        # coalescing, so the per-hub builds run on n_parts tasks instead of
-        # the handful AQE would coalesce this (byte-light, compute-heavy)
-        # exchange down to; groupBy reuses the same partitioning — one
-        # exchange total
+        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            shaped = (
+                active.repartition(n_parts, "hub_vtx")
+                .sortWithinPartitions("hub_vtx")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        _trace("shaped", t0)
+
+        t0 = time.time()
         local_trees = (
-            active.repartition(n_parts, "hub_vtx")
-            .groupBy("hub_vtx")
+            shaped.groupBy("hub_vtx")
             .applyInArrow(build_group, LOCAL_TREE_SCHEMA)
             .localCheckpoint(eager=True)
         )
         _trace("local_trees", t0)
 
-        # The members table is checkpointed pre-hash-partitioned AND
-        # pre-sorted on hub_id: LogicalRDD keeps outputPartitioning /
-        # outputOrdering through localCheckpoint (AQE must be off while it
-        # materializes, or the adaptive wrapper reports UnknownPartitioning),
-        # so every routed query's cogroup (plans/query.py stage 2) reads the
-        # tree side with ZERO exchange and ZERO sort — the shuffle moves from
-        # per-query-call to once-per-build (guide §2.4), and it moves 4
-        # narrow columns of unique members, not the full vertex table.
-        t0 = time.time()
-        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            members = (
-                active_state.select(
-                    F.col("hub_vtx").alias("hub_id"),
-                    F.col("pid").alias("point_id"),
-                    F.col("x").alias("px"),
-                    F.col("y").alias("py"),
-                )
-                .where(F.col("hub_id") >= 0)
-                .repartition(n_parts, "hub_id")
-                .sortWithinPartitions("hub_id")
-                .localCheckpoint(eager=True)
-            )
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
-        _trace("members", t0)
+        members = shaped.select(
+            F.col("hub_vtx").alias("hub_id"),
+            F.col("pid").alias("point_id"),
+            F.col("x").alias("px"),
+            F.col("y").alias("py"),
+        )
 
     # --- assemble top-tree vertex table --------------------------------------
     t0 = time.time()

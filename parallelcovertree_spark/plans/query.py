@@ -266,7 +266,13 @@ def tree_radius_join(
     # by the ContextCleaner when the result goes out of scope — a persist()
     # here had no unpersist point (the result is lazy) and accumulated one
     # cached RDD per traversal round under tree_knn
+    import os as _os
+    import time as _time
+
+    _t0 = _time.time()
     routed = q.mapInArrow(stage1, _STAGE1_SCHEMA).localCheckpoint(eager=True)
+    if _os.environ.get("COVERGRID_QUERY_TRACE"):
+        print(f"    [query:stage1] {_time.time() - _t0:.2f}s", flush=True)
     hits_top = routed.where(F.col("kind") == 0).select("qid", F.col("key").alias("pid"))
 
     if model.has_global_leaves:
@@ -305,9 +311,17 @@ def tree_radius_join(
     def stage2(routes_tb, tree_tb):
         import pyarrow as pa
 
+        def empty():
+            return pa.table({
+                "qid": pa.array(np.empty(0, np.int64), pa.int64()),
+                "pids": pa.ListArray.from_arrays(
+                    pa.array(np.zeros(1, np.int32)),
+                    pa.array(np.empty(0, np.int64), pa.int64()),
+                ),
+            })
+
         if not routes_tb.num_rows or not tree_tb.num_rows:
-            return pa.table({"qid": np.empty(0, np.int64),
-                             "pid": np.empty(0, np.int64)})
+            return empty()
 
         def col(tb, name):
             return tb.column(name).combine_chunks().to_numpy(zero_copy_only=False)
@@ -324,16 +338,28 @@ def tree_radius_join(
         keep = ~np.isin(upids, s1pids)
         upids, first = upids[keep], first[keep]
         if not len(upids):
-            return pa.table({"qid": np.empty(0, np.int64),
-                             "pid": np.empty(0, np.int64)})
+            return empty()
         px = col(tree_tb, "px")[first].astype(np.float64)
         py = col(tree_tb, "py")[first].astype(np.float64)
         hq, hp = grid_radius_pairs(
             px, py, col(routes_tb, "qx"), col(routes_tb, "qy"), r,
         )
+        # PACKED return leg (same discipline as the kNN kernel): hq is
+        # query-index-ascending by construction, so one run-length pass packs
+        # each query's pids into a zero-copy ListArray — ~15x fewer rows
+        # cross the Python->JVM boundary at ε-graph densities; a codegen
+        # posexplode rebuilds the pair rows JVM-side.
+        if not len(hq):
+            return empty()
+        gstart = np.flatnonzero(np.r_[True, hq[1:] != hq[:-1]])
+        offsets = np.zeros(len(gstart) + 1, dtype=np.int32)
+        offsets[1:-1] = gstart[1:]
+        offsets[-1] = len(hq)
         return pa.table({
-            "qid": col(routes_tb, "qid")[hq],
-            "pid": upids[hp],
+            "qid": pa.array(col(routes_tb, "qid")[hq[gstart]], pa.int64()),
+            "pids": pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(upids[hp], pa.int64())
+            ),
         })
 
     # cogroup against the narrow pre-partitioned members table when the
@@ -343,7 +369,8 @@ def tree_radius_join(
     hits_local = (
         to_route.groupBy("hub_id")
         .cogroup(tree_side.groupBy("hub_id"))
-        .applyInArrow(stage2, "qid long, pid long")
+        .applyInArrow(stage2, "qid long, pids array<long>")
+        .select("qid", F.explode("pids").alias("pid"))
     )
     # sources are pairwise disjoint (see docstring) → plain union, no shuffle
     out = hits_top.unionByName(hits_local).select(

@@ -20,14 +20,13 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from parallelcovertree_spark.functions.cells import explode_k_ring, with_cell
+from parallelcovertree_spark.functions.geo import dist2_expr
 from parallelcovertree_spark.plans.covertree import CoverTreeModel
 from parallelcovertree_spark.plans.local_tree import (
     TreeArrays,
-    _ragged_arange,
     grid_radius_pairs,
 )
-
-_STAGE1_SCHEMA = "qid long, kind int, key long, qx double, qy double"
 
 
 def _top_tree_arrays(model: CoverTreeModel) -> tuple[TreeArrays, np.ndarray, np.ndarray]:
@@ -161,7 +160,6 @@ def tree_radius_join(
         )
         object.__setattr__(model, "_query_bc_cache", bc)
     r = float(radius)
-    base = model.base  # plain scalar for executor closures (model holds DFs)
 
     q = queries.select(
         F.col(qid_col).cast("long").alias("qid"),
@@ -169,111 +167,91 @@ def tree_radius_join(
         F.col(y).cast("double").alias("qy"),
     )
 
-    def stage1(batches):
-        """Per Arrow batch: (a) grid radius match against the stage-1 point
-        set (hits), (b) rectangle-stab against the hub boxes (routes).
-        Replaces the per-level top-tree frontier traversal — same hit set
-        (the traversal finds exactly the within-r stage-1 points), box-exact
-        route set, ~3× less CPU at 1M queries. Arrow-native transport (guide
-        §4.2): int64/float64 columns come out of the batch zero-copy, hits
-        and routes go back as separate record batches — no pandas blocks."""
-        import pyarrow as pa
+    # --- stage 1, JVM form: both small sides broadcast ----------------------
+    # The former mapInArrow stage shipped every query through the Python
+    # boundary and checkpointed ~1.9 routed rows per query. Both of its
+    # decisions depend only on TINY model-side tables, so they are now two
+    # broadcast hash joins in whole-stage codegen (guide §3.1/§2.4 — no
+    # shuffle, no Python, no checkpoint):
+    # (a) HITS: the stage-1 point set (non-stop top-vertex points, a few
+    #     hundred rows) exploded to its 1-ring at cell size r — each query
+    #     probes its own cell, exact d² ≤ r² filter. Identical predicate and
+    #     float32-rounded coordinates as the former kernel (the tree stores
+    #     float32; the literal table carries those exact values widened).
+    # (b) ROUTES: the hub-box rectangle stab — the same coarse stab grid is
+    #     built driver-side in numpy (each inflated box covers ≤ 2×2 cells),
+    #     shipped as a literal (stab_key → box) table; queries probe ONE
+    #     stab cell and keep boxes with dist(q, box)² ≤ rm². The 1e-9
+    #     relative margin makes the prune immune to last-bit rounding — a
+    #     kept route only costs stage-2 work, and no true hit can be lost
+    #     (a member within r of q lies in its hub's box).
+    import pandas as pd
 
-        t, point_ids, s1pids, s1i, hboxes, hvids = bc.value
-        # box margin: 1e-9 relative slack makes the prune immune to last-bit
-        # rounding differences — a kept route costs a little stage-2 work, a
-        # wrongly dropped one would lose a hit, so prune conservatively
-        rm = r + 1e-9 * max(1.0, r)
-        rm2 = rm * rm
-        s1x = t.xy[s1i, 0].astype(np.float64)
-        s1y = t.xy[s1i, 1].astype(np.float64)
-        stab = None
-        if hboxes is not None and len(hvids):
-            x0, x1, y0, y1 = hboxes
-            # coarse stab grid: cell ≥ the largest (inflated) box dimension,
-            # so each box covers ≤ 2×2 cells; queries probe ONE cell
-            g = max(float(np.max(x1 - x0)), float(np.max(y1 - y0)),
-                    2.0 * rm, 1e-12) * (1.0 + 1e-12)
-            bcx0 = np.floor((x0 - rm) / g).astype(np.int64)
-            bcx1 = np.floor((x1 + rm) / g).astype(np.int64)
-            bcy0 = np.floor((y0 - rm) / g).astype(np.int64)
-            bcy1 = np.floor((y1 + rm) / g).astype(np.int64)
-            cymin = int(bcy0.min()) - 1
-            cymax = int(bcy1.max()) + 1
-            span = np.int64(cymax - cymin + 2)
-            keys, bidx = [], []
-            for i in range(len(hvids)):
-                for cx in range(int(bcx0[i]), int(bcx1[i]) + 1):
-                    kbase = cx * span - cymin
-                    for cy in range(int(bcy0[i]), int(bcy1[i]) + 1):
-                        keys.append(kbase + cy)
-                        bidx.append(i)
-            keys = np.asarray(keys, dtype=np.int64)
-            bidx = np.asarray(bidx, dtype=np.int64)
-            korder = np.argsort(keys, kind="stable")
-            keys, bidx = keys[korder], bidx[korder]
-            uk, ustart = np.unique(keys, return_index=True)
-            uend = np.concatenate([ustart[1:], [len(keys)]])
-            stab = (g, cymin, cymax, span, uk, ustart, uend, bidx,
-                    x0, x1, y0, y1)
-        for rb in batches:
-            if not rb.num_rows:
-                continue
-            tb = pa.Table.from_batches([rb])
-            qid = tb.column("qid").combine_chunks().to_numpy(zero_copy_only=False)
-            qx = tb.column("qx").combine_chunks().to_numpy(zero_copy_only=False)
-            qy = tb.column("qy").combine_chunks().to_numpy(zero_copy_only=False)
-            hq, hp = grid_radius_pairs(s1x, s1y, qx, qy, r)
-            if len(hq):
-                yield pa.record_batch({
-                    "qid": qid[hq],
-                    "kind": np.zeros(len(hq), dtype=np.int32),
-                    "key": s1pids[hp],
-                    "qx": qx[hq],
-                    "qy": qy[hq],
-                })
-            if stab is not None:
-                (g, cymin, cymax, span, uk, ustart, uend, bidx,
-                 x0, x1, y0, y1) = stab
-                qcx = np.floor(qx / g).astype(np.int64)
-                qcy = np.floor(qy / g).astype(np.int64)
-                valid = (qcy >= cymin) & (qcy <= cymax)
-                qkey = np.where(valid, qcx * span + (qcy - cymin), np.int64(-(1 << 62)))
-                pos = np.searchsorted(uk, qkey)
-                posc = np.minimum(pos, len(uk) - 1)
-                ok = valid & (uk[posc] == qkey)
-                lens = np.where(ok, uend[posc] - ustart[posc], 0)
-                starts = np.where(ok, ustart[posc], 0)
-                nz = lens > 0
-                lens_nz, starts_nz = lens[nz], starts[nz]
-                rq = np.repeat(np.arange(len(qx), dtype=np.int64)[nz], lens_nz)
-                cand = bidx[np.repeat(starts_nz, lens_nz) + _ragged_arange(lens_nz)]
-                gx = np.maximum(np.maximum(x0[cand] - qx[rq], qx[rq] - x1[cand]), 0.0)
-                gy = np.maximum(np.maximum(y0[cand] - qy[rq], qy[rq] - y1[cand]), 0.0)
-                keep = gx * gx + gy * gy <= rm2
-                rq, cand = rq[keep], cand[keep]
-                if len(rq):
-                    yield pa.record_batch({
-                        "qid": qid[rq],
-                        "kind": np.ones(len(rq), dtype=np.int32),
-                        "key": hvids[cand],
-                        "qx": qx[rq],
-                        "qy": qy[rq],
-                    })
+    rm = r + 1e-9 * max(1.0, r)
+    rm2 = rm * rm
+    s1_df = spark.createDataFrame(
+        pd.DataFrame({
+            "pid": stage1_pids,
+            "px": tree.xy[s1idx, 0].astype(np.float64),
+            "py": tree.xy[s1idx, 1].astype(np.float64),
+        }),
+        "pid long, px double, py double",
+    )
+    ring = explode_k_ring(s1_df, r, k=1, x="px", y="py", out="_cell")
+    hits_top = (
+        with_cell(q, r, x="qx", y="qy", out="_cell")
+        .join(F.broadcast(ring), "_cell")
+        .where(dist2_expr("qx", "qy", "px", "py") <= F.lit(r * r))
+        .select("qid", "pid")
+    )
 
-    # localCheckpoint, not persist: routed feeds two consumers (direct hits +
-    # hub routing); an eager checkpoint computes stage 1 once and is released
-    # by the ContextCleaner when the result goes out of scope — a persist()
-    # here had no unpersist point (the result is lazy) and accumulated one
-    # cached RDD per traversal round under tree_knn
-    import os as _os
-    import time as _time
-
-    _t0 = _time.time()
-    routed = q.mapInArrow(stage1, _STAGE1_SCHEMA).localCheckpoint(eager=True)
-    if _os.environ.get("COVERGRID_QUERY_TRACE"):
-        print(f"    [query:stage1] {_time.time() - _t0:.2f}s", flush=True)
-    hits_top = routed.where(F.col("kind") == 0).select("qid", F.col("key").alias("pid"))
+    to_route = None
+    if hub_boxes is not None and len(vid_of_stop):
+        x0, x1, y0, y1 = hub_boxes
+        g = max(float(np.max(x1 - x0)), float(np.max(y1 - y0)),
+                2.0 * rm, 1e-12) * (1.0 + 1e-12)
+        bcx0 = np.floor((x0 - rm) / g).astype(np.int64)
+        bcx1 = np.floor((x1 + rm) / g).astype(np.int64)
+        bcy0 = np.floor((y0 - rm) / g).astype(np.int64)
+        bcy1 = np.floor((y1 + rm) / g).astype(np.int64)
+        cymin = int(bcy0.min()) - 1
+        cymax = int(bcy1.max()) + 1
+        span = int(cymax - cymin + 2)
+        keys, bidx = [], []
+        for i in range(len(vid_of_stop)):
+            for cx in range(int(bcx0[i]), int(bcx1[i]) + 1):
+                kbase = cx * span - cymin
+                for cy in range(int(bcy0[i]), int(bcy1[i]) + 1):
+                    keys.append(kbase + cy)
+                    bidx.append(i)
+        bidx = np.asarray(bidx, dtype=np.int64)
+        stab_df = spark.createDataFrame(
+            pd.DataFrame({
+                "_skey": np.asarray(keys, dtype=np.int64),
+                "_hx0": x0[bidx], "_hx1": x1[bidx],
+                "_hy0": y0[bidx], "_hy1": y1[bidx],
+                "_hub": vid_of_stop[bidx],
+            }),
+            "_skey long, _hx0 double, _hx1 double, _hy0 double, _hy1 double, "
+            "_hub long",
+        )
+        qcy = F.floor(F.col("qy") / F.lit(g)).cast("long")
+        gx = F.greatest(F.col("_hx0") - F.col("qx"),
+                        F.col("qx") - F.col("_hx1"), F.lit(0.0))
+        gy = F.greatest(F.col("_hy0") - F.col("qy"),
+                        F.col("qy") - F.col("_hy1"), F.lit(0.0))
+        to_route = (
+            q.withColumn("_qcy", qcy)
+            .where(F.col("_qcy").between(cymin, cymax))
+            .withColumn(
+                "_skey",
+                F.floor(F.col("qx") / F.lit(g)).cast("long") * F.lit(span)
+                + (F.col("_qcy") - F.lit(cymin)),
+            )
+            .join(F.broadcast(stab_df), "_skey")
+            .where(gx * gx + gy * gy <= F.lit(rm2))
+            .select(F.col("_hub").alias("hub_id"), "qid", "qx", "qy")
+        )
 
     if model.has_global_leaves:
         # points deactivated during the global phase (exact-coordinate
@@ -301,12 +279,8 @@ def tree_radius_join(
         )
         hits_top = hits_top.unionByName(hits_leaf)
 
-    if model.local_trees is None:
+    if model.local_trees is None or to_route is None:
         return hits_top.select(F.col("qid").alias("src"), F.col("pid").alias("dst"))
-
-    to_route = routed.where(F.col("kind") == 1).select(
-        F.col("key").alias("hub_id"), "qid", "qx", "qy"
-    )
 
     def stage2(routes_tb, tree_tb):
         import pyarrow as pa

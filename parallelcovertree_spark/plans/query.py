@@ -16,6 +16,8 @@ DistCoverTree.cpp:657-677).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -281,6 +283,48 @@ def tree_radius_join(
 
     if model.local_trees is None or to_route is None:
         return hits_top.select(F.col("qid").alias("src"), F.col("pid").alias("dst"))
+
+    # --- stage 2 regime split (guide §3.1: broadcast the side that fits) ----
+    # For SMALL query sets (selective lookups, kNN expansion rounds) the
+    # cogroup's fixed cost — Arrow-shipping the full members table to Python
+    # on every call — dominates. Below the threshold the finish is instead a
+    # pure-JVM broadcast hash join: the routed queries explode to their
+    # 9-cell ring (~17 rows/query, a few MB), members probe it map-side over
+    # the pre-partitioned checkpoint (no exchange, no Python), exact
+    # d² ≤ r² filter. Identical pair set: a member within r of a routed
+    # query lies in its ring; members are unique rows; stage-1 points are
+    # dropped by the same anti-join the leaf path uses. Requires the unique
+    # members table (local_trees has multiple vertex rows per point).
+    # The one-count probe of q is a codegen agg over the (typically cached /
+    # filter-derived) query source — cheap against the cogroup it avoids.
+    bcast_q_threshold = int(
+        os.environ.get("COVERGRID_ROUTE_BCAST_QUERIES", "100000")
+    )
+    if getattr(model, "members", None) is not None and q.count() <= bcast_q_threshold:
+        ring_route = explode_k_ring(to_route, r, k=1, x="qx", y="qy", out="_mcell")
+        s1df = spark.createDataFrame(
+            pd.DataFrame({"s1_pid": stage1_pids}), "s1_pid long"
+        )
+        mem = (
+            model.members
+            .join(F.broadcast(s1df),
+                  F.col("point_id") == F.col("s1_pid"), "left_anti")
+        )
+        mem = with_cell(mem, r, x="px", y="py", out="_mcell")
+        hits_local = (
+            mem.alias("m")
+            .join(
+                F.broadcast(ring_route).alias("t"),
+                (F.col("m.hub_id") == F.col("t.hub_id"))
+                & (F.col("m._mcell") == F.col("t._mcell")),
+            )
+            .where(dist2_expr("qx", "qy", "px", "py") <= F.lit(r * r))
+            .select("qid", F.col("point_id").alias("pid"))
+        )
+        out = hits_top.unionByName(hits_local).select(
+            F.col("qid").alias("src"), F.col("pid").alias("dst")
+        )
+        return out
 
     def stage2(routes_tb, tree_tb):
         import pyarrow as pa

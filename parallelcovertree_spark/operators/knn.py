@@ -614,13 +614,13 @@ def knn_join_block_kernel(
                        F.struct(sx.alias("dx"), sy.alias("dy"))),
             )
             ex = (
-                cands.select("pid", "px", "py", "bx", "by",
+                cands.select("pid", "px", "py",
                              F.explode(ents).alias("_o"))
                 .where(F.col("_o").isNotNull())
                 .select(
                     "pid", "px", "py",
-                    ((F.col("bx") + F.col("_o.dx") + OFF) * M
-                     + (F.col("by") + F.col("_o.dy") + OFF)).alias("block"),
+                    ((F.col("_o.dx") + 1) * 3 + (F.col("_o.dy") + 1))
+                    .cast("tinyint").alias("off"),
                     ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("own"),
                 )
             )
@@ -638,34 +638,30 @@ def knn_join_block_kernel(
                 | ((F.col("_o.dy") == 1) & (F.col("my") == B - 1))
             )
             ex = (
-                cands.select("pid", "px", "py", "mx", "my", "bx", "by",
+                cands.select("pid", "px", "py", "mx", "my",
                              F.explode(offs).alias("_o"))
                 .where(xok & yok)
                 .select(
                     "pid", "px", "py",
-                    ((F.col("bx") + F.col("_o.dx") + OFF) * M
-                     + (F.col("by") + F.col("_o.dy") + OFF)).alias("block"),
+                    ((F.col("_o.dx") + 1) * 3 + (F.col("_o.dy") + 1))
+                    .cast("tinyint").alias("off"),
                     ((F.col("_o.dx") == 0) & (F.col("_o.dy") == 0)).alias("own"),
                 )
             )
         if qbase is not None:
             # two-table: corpus rows are candidates only; query rows go to
             # their own block, are cores only
-            ex = ex.select("pid", "px", "py", "block",
+            ex = ex.select("pid", "px", "py", "off",
                            F.lit(False).alias("core"), F.lit(True).alias("cand"))
             qrows = qbase.select(
                 "pid", "px", "py",
-                (((ix - F.pmod(ix, F.lit(B))) / B).cast("long") + OFF).alias("_bx"),
-                (((iy - F.pmod(iy, F.lit(B))) / B).cast("long") + OFF).alias("_by"),
-            ).select(
-                "pid", "px", "py",
-                (F.col("_bx") * M + F.col("_by")).alias("block"),
+                F.lit(4).cast("tinyint").alias("off"),
                 F.lit(True).alias("core"), F.lit(False).alias("cand"),
             )
             if unresolved_ids is not None:
                 flag = unresolved_ids.withColumn("_u", F.lit(True))
                 qrows = qrows.join(flag, qrows.pid == flag.src, "left").select(
-                    "pid", "px", "py", "block",
+                    "pid", "px", "py", "off",
                     F.coalesce(F.col("_u"), F.lit(False)).alias("core"), "cand",
                 )
             ex = ex.unionByName(qrows)
@@ -676,7 +672,7 @@ def knn_join_block_kernel(
         else:
             flag = unresolved_ids.withColumn("_u", F.lit(True))
             ex = ex.join(flag, ex.pid == flag.src, "left").select(
-                "pid", "px", "py", "block",
+                "pid", "px", "py", "off",
                 (F.col("own") & F.coalesce(F.col("_u"), F.lit(False))).alias("core"),
                 F.lit(True).alias("cand"),
             )
@@ -694,13 +690,20 @@ def knn_join_block_kernel(
             # column (8 bytes/row of shuffle + Arrow saved).
 
             def solve(cols: dict):
-                blocks = cols["block"]
                 ids = cols["pid"]
                 px_a = cols["px"]
                 py_a = cols["py"]
                 ixk = np.floor(px_a / ss).astype(np.int64)
                 iyk = np.floor(py_a / ss).astype(np.int64)
                 cells = (ixk + OFF) * M + (iyk + OFF)
+                # target block from the 1-byte offset code — the same
+                # integer-exact (ix - mod) / B + decoded (dx, dy) the JVM
+                # partitioning expression evaluates, so a block's rows land
+                # in one partition AND regroup here under the same id
+                offc = cols["off"].astype(np.int64)
+                bxk = (ixk - np.mod(ixk, B)) // B + (offc - np.mod(offc, 3)) // 3 - 1
+                byk = (iyk - np.mod(iyk, B)) // B + np.mod(offc, 3) - 1
+                blocks = (bxk + OFF) * M + (byk + OFF)
                 order = np.lexsort((cells, blocks))
                 blocks = blocks[order]
                 cells = cells[order]
@@ -792,7 +795,7 @@ def knn_join_block_kernel(
                     [pa.array(src_arr, pa.int64()), topk], ["src", "topk"]
                 )
 
-            _DT = {"block": np.int64, "pid": np.int64,
+            _DT = {"off": np.int8, "pid": np.int64,
                    "px": np.float64, "py": np.float64, "core": bool, "cand": bool}
 
             def to_cols(rb):
@@ -812,9 +815,22 @@ def knn_join_block_kernel(
                 if out is not None and len(out):
                     yield out
 
+        # the exchange hashes a DERIVED block expression over (px, py, off) —
+        # integer-exact arithmetic ((ix - pmod(ix, B)) / B is an exact
+        # multiple) that the kernel reproduces bit-for-bit in numpy, so no
+        # block id is ever shipped: the shuffle and Arrow legs carry a
+        # 1-byte offset code where an 8-byte block id used to ride
+        _ixe = F.floor(F.col("px") / F.lit(s)).cast("long")
+        _iye = F.floor(F.col("py") / F.lit(s)).cast("long")
+        _bxe = ((_ixe - F.pmod(_ixe, F.lit(B))) / B).cast("long")
+        _bye = ((_iye - F.pmod(_iye, F.lit(B))) / B).cast("long")
+        _offl = F.col("off").cast("long")
+        _dxe = ((_offl - F.pmod(_offl, F.lit(3))) / 3).cast("long") - 1
+        _dye = F.pmod(_offl, F.lit(3)) - 1
+        _blk_expr = (_bxe + _dxe + OFF) * M + (_bye + _dye + OFF)
         _t1 = _time.time()
         solved = (
-            ex.repartition(parts, "block")
+            ex.repartition(parts, _blk_expr)
             .mapInArrow(kernel, out_schema)
             .localCheckpoint(eager=True)
         )

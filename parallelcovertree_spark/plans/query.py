@@ -297,8 +297,12 @@ def tree_radius_join(
     # members table (local_trees has multiple vertex rows per point).
     # The one-count probe of q is a codegen agg over the (typically cached /
     # filter-derived) query source — cheap against the cogroup it avoids.
+    # Default 50k: the broadcast side is the ring-exploded route set
+    # (~2 routes/query x 9 cells x ~44 B), so 50k queries is a ~40 MB
+    # broadcast — comfortably inside executor memory at any cluster size,
+    # while 100k+ starts to be a real per-executor allocation.
     bcast_q_threshold = int(
-        os.environ.get("COVERGRID_ROUTE_BCAST_QUERIES", "100000")
+        os.environ.get("COVERGRID_ROUTE_BCAST_QUERIES", "50000")
     )
     if getattr(model, "members", None) is not None and q.count() <= bcast_q_threshold:
         ring_route = explode_k_ring(to_route, r, k=1, x="qx", y="qy", out="_mcell")

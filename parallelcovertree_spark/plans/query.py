@@ -330,6 +330,11 @@ def tree_radius_join(
         )
         return out
 
+    # the members table holds one row per member by construction; the
+    # local_trees fallback (hand-built models) has one row per VERTEX, so a
+    # chain point appears several times and needs the unique pass
+    tree_rows_unique = getattr(model, "members", None) is not None
+
     def stage2(routes_tb, tree_tb):
         import pyarrow as pa
 
@@ -356,9 +361,14 @@ def tree_radius_join(
         # is now free (unique points ⇒ no chain-duplicate dedupe), and the
         # stage-1-tested points are dropped up-front instead of post-hoc.
         pids = col(tree_tb, "point_id")
-        upids, first = np.unique(pids, return_index=True)
-        keep = ~np.isin(upids, s1pids)
-        upids, first = upids[keep], first[keep]
+        if tree_rows_unique:
+            keep = ~np.isin(pids, s1pids)
+            upids = pids[keep]
+            first = np.flatnonzero(keep)
+        else:
+            upids, first = np.unique(pids, return_index=True)
+            keep = ~np.isin(upids, s1pids)
+            upids, first = upids[keep], first[keep]
         if not len(upids):
             return empty()
         px = col(tree_tb, "px")[first].astype(np.float64)
